@@ -1,0 +1,53 @@
+"""raocp_tpu — a TPU-native framework for multistage Risk-Averse Optimal
+Control Problems (RAOCPs) on scenario trees.
+
+Built from scratch for JAX/XLA on TPU: all per-node computations are batched
+over stacked arrays (vmap/einsum style), the Chambolle-Pock iteration runs as
+a single jitted step inside ``lax.while_loop``, and multi-device scaling uses
+``jax.sharding`` over the node axis.
+
+Capability parity target: smokinmirror/raocp-toolbox (see reference
+``raocp/__init__.py:1`` for the public surface re-exported here).
+"""
+
+from raocp_tpu.core.tree import ScenarioTree, MarkovChainScenarioTreeFactory
+from raocp_tpu.core.nodes import Node, Nonleaf, Leaf
+from raocp_tpu.core.dynamics import Dynamics
+from raocp_tpu.core.costs import Quadratic
+from raocp_tpu.core.risks import AVaR
+from raocp_tpu.core.constraints import (
+    Constraint,
+    No,
+    Rectangle,
+    Real,
+    Zero,
+    NonnegativeOrthant,
+    SecondOrderCone,
+    Cartesian,
+)
+from raocp_tpu.core.spec import RAOCP
+from raocp_tpu.solver import Solver, SolverResult
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "ScenarioTree",
+    "MarkovChainScenarioTreeFactory",
+    "Node",
+    "Nonleaf",
+    "Leaf",
+    "Dynamics",
+    "Quadratic",
+    "AVaR",
+    "Constraint",
+    "No",
+    "Rectangle",
+    "Real",
+    "Zero",
+    "NonnegativeOrthant",
+    "SecondOrderCone",
+    "Cartesian",
+    "RAOCP",
+    "Solver",
+    "SolverResult",
+]

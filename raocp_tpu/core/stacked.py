@@ -1,0 +1,303 @@
+"""Stacked, padded, device-ready form of a RAOCP.
+
+This module turns the per-node object lists of :class:`raocp_tpu.core.spec.RAOCP`
+into the arrays the batched TPU kernels consume, and runs the offline phase:
+
+* the backward Riccati-like factorisation used by the dynamics projection
+  (parity: reference ``cache.py:207-233``), computed stage-batched in numpy;
+* the kernel-projection operators: the reference solves a null-space least
+  squares per node per iteration (``cache.py:290-317``); here the orthogonal
+  projector ``Pi = I - M'(MM')^{-1}M`` onto ker(M) is precomputed once —
+  mathematically identical, and online it is a single batched matmul. Since
+  the kernel constraint matrix ``M = [[E', -I, -I], [F', 0, 0]]``
+  (``cache.py:239-241``) depends only on the risk's (E, F) — for AVaR only on
+  (alpha, num_children) — projectors are computed once per distinct matrix
+  and broadcast to nodes.
+
+Padded layouts (d = max branching, Y = 2d+1, D = 4d+1):
+
+* y / e1 / b / E rows for a node with c children: real NnOC coordinates in
+  slots [0, 2c), the Zero-cone coordinate in slot 2d (a fixed position so the
+  cone projection is node-independent), other slots zero.
+* kernel vector v = [y (Y slots) | tau_children (d slots) | s_children
+  (d slots)].
+"""
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from raocp_tpu.core.spec import RAOCP
+from raocp_tpu.core.variables import Primal, Dual
+
+__all__ = ["StackedProblem", "build_stacked"]
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class StackedProblem:
+    """All device arrays + static metadata of one RAOCP instance."""
+
+    # -- static metadata (hashable; part of the jit cache key) --------------
+    n: int = dataclasses.field(metadata=dict(static=True))
+    m: int = dataclasses.field(metadata=dict(static=True))
+    num_nodes: int = dataclasses.field(metadata=dict(static=True))
+    num_nonleaf: int = dataclasses.field(metadata=dict(static=True))
+    num_leaf: int = dataclasses.field(metadata=dict(static=True))
+    d_max: int = dataclasses.field(metadata=dict(static=True))
+    num_stages: int = dataclasses.field(metadata=dict(static=True))
+    stage_start: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
+
+    # -- index plans ---------------------------------------------------------
+    anc: jax.Array          # [num_nodes] parent (anc[0] = 0)
+    child_idx: jax.Array    # [num_nonleaf, d_max] child node ids, 0-padded
+    child_mask: jax.Array   # [num_nonleaf, d_max] 1.0 where valid
+    child_rank: jax.Array   # [num_nodes] rank among siblings (root 0)
+    nz_mask: jax.Array      # [num_nodes] 0.0 at root, 1.0 elsewhere
+    zero_slot: jax.Array    # [Y] True at the Zero-cone coordinate (slot 2d)
+
+    # -- problem data ----------------------------------------------------------
+    A: jax.Array            # [num_nodes, n, n]; row 0 zero
+    B: jax.Array            # [num_nodes, n, m]; row 0 zero
+    sqrtQ: jax.Array        # [num_nodes, n, n]; row 0 zero
+    sqrtR: jax.Array        # [num_nodes, m, m]; row 0 zero
+    sqrtP: jax.Array        # [num_leaf, n, n]
+    b_pad: jax.Array        # [num_nonleaf, Y] risk vector b (padded layout)
+    y_mask: jax.Array       # [num_nonleaf, Y] 1.0 on real y coordinates
+    nl_lo: jax.Array        # [num_nonleaf, n+m] box lower bound (-inf where free)
+    nl_hi: jax.Array        # [num_nonleaf, n+m]
+    nl_active: jax.Array    # [num_nonleaf] 1.0 where the constraint is active
+    l_lo: jax.Array         # [num_leaf, n]
+    l_hi: jax.Array         # [num_leaf, n]
+    l_active: jax.Array     # [num_leaf]
+
+    # -- offline factorisations --------------------------------------------------
+    P: jax.Array            # [num_nodes, n, n] Riccati-like matrices
+    Rinv: jax.Array         # [num_nonleaf, m, m] (I + sum B'PB)^{-1}
+    K: jax.Array            # [num_nonleaf, m, n] feedback gains
+    Abar: jax.Array         # [num_nodes, n, n] A + B K_parent; row 0 zero
+    sumAPB: jax.Array       # [num_nonleaf, n, m] sum_children Abar'P B
+    Pi: jax.Array           # [num_nonleaf, D, D] kernel projectors (padded)
+
+    # -- convenience -----------------------------------------------------------
+
+    @property
+    def Y(self) -> int:
+        return 2 * self.d_max + 1
+
+    @property
+    def D(self) -> int:
+        return 4 * self.d_max + 1
+
+    @property
+    def dtype(self):
+        return self.A.dtype
+
+    def zero_primal(self) -> Primal:
+        dt = self.dtype
+        return Primal(
+            x=jnp.zeros((self.num_nodes, self.n), dt),
+            u=jnp.zeros((self.num_nonleaf, self.m), dt),
+            y=jnp.zeros((self.num_nonleaf, self.Y), dt),
+            tau=jnp.zeros((self.num_nodes,), dt),
+            s=jnp.zeros((self.num_nodes,), dt),
+        )
+
+    def zero_dual(self) -> Dual:
+        dt = self.dtype
+        return Dual(
+            e1=jnp.zeros((self.num_nonleaf, self.Y), dt),
+            e2=jnp.zeros((self.num_nonleaf,), dt),
+            e3=jnp.zeros((self.num_nodes, self.n), dt),
+            e4=jnp.zeros((self.num_nodes, self.m), dt),
+            e5=jnp.zeros((self.num_nodes,), dt),
+            e6=jnp.zeros((self.num_nodes,), dt),
+            e7=jnp.zeros((self.num_nonleaf, self.n + self.m), dt),
+            e11=jnp.zeros((self.num_leaf, self.n), dt),
+            e12=jnp.zeros((self.num_leaf,), dt),
+            e13=jnp.zeros((self.num_leaf,), dt),
+            e14=jnp.zeros((self.num_leaf, self.n), dt),
+        )
+
+
+def _offline_riccati(spec: RAOCP, n: int, m: int):
+    """Backward stage-batched Riccati-like factorisation.
+
+    Parity: reference ``cache.py:207-233``. For each nonleaf node i (children
+    ch(i)): R~_i = I + sum_j B_j'P_jB_j, K_i = -R~_i^{-1} sum_j B_j'P_jA_j,
+    Abar_j = A_j + B_jK_i, P_i = I + K_i'K_i + sum_j Abar_j'P_jAbar_j.
+    Additionally precomputes sumAPB_i = sum_j Abar_j'P_jB_j, used by the
+    online projection.
+    """
+    tree = spec.tree
+    N = tree.num_nodes
+    NL = tree.num_nonleaf_nodes
+    ns = tree.num_stages
+    ss = tree.stage_start
+
+    A = np.zeros((N, n, n))
+    B = np.zeros((N, n, m))
+    for j in range(1, N):
+        A[j] = spec.state_dynamics_at_node(j)
+        B[j] = spec.control_dynamics_at_node(j)
+
+    P = np.zeros((N, n, n))
+    P[NL:] = np.eye(n)
+    K = np.zeros((NL, m, n))
+    Rinv = np.zeros((NL, m, m))
+    Abar = np.zeros((N, n, n))
+    sumAPB = np.zeros((NL, n, m))
+
+    # reduceat segment boundaries: children of stage-k nodes are contiguous
+    cf = tree.child_first
+    for k in range(ns - 2, -1, -1):
+        a, b = ss[k], ss[k + 1]          # nonleaf nodes of stage k
+        a2, b2 = ss[k + 1], ss[k + 2]    # their children (all of stage k+1)
+        Ac, Bc, Pc = A[a2:b2], B[a2:b2], P[a2:b2]
+        seg = cf[a:b] - a2               # start of each parent's child block
+        PB = Pc @ Bc                                       # [W2, n, m]
+        BtPB = np.einsum("jba,jbc->jac", Bc, PB)           # [W2, m, m]
+        BtPA = np.einsum("jba,jbc->jac", Bc, Pc @ Ac)      # [W2, m, n]
+        sum_r = np.add.reduceat(BtPB, seg, axis=0)
+        sum_k = np.add.reduceat(BtPA, seg, axis=0)
+        r_tilde = np.eye(m) + sum_r
+        Rinv[a:b] = np.linalg.inv(r_tilde)
+        K[a:b] = np.linalg.solve(r_tilde, -sum_k)
+        # expand K to children: parent of child j in [a2,b2) is anc[j]
+        Kc = K[tree.ancestors[a2:b2]]
+        Abar[a2:b2] = Ac + Bc @ Kc
+        APB = np.einsum("jba,jbc->jac", Abar[a2:b2], PB)   # [W2, n, m]
+        AtPA = np.einsum("jba,jbc,jcd->jad", Abar[a2:b2], Pc, Abar[a2:b2])
+        sumAPB[a:b] = np.add.reduceat(APB, seg, axis=0)
+        P[a:b] = (np.eye(n) + np.einsum("iba,ibc->iac", K[a:b], K[a:b])
+                  + np.add.reduceat(AtPA, seg, axis=0))
+
+    return A, B, P, Rinv, K, Abar, sumAPB
+
+
+def _offline_kernel_projectors(spec: RAOCP, d_max: int) -> np.ndarray:
+    """Orthogonal projectors onto ker([[E', -I, -I], [F', 0, 0]]) in the
+    padded [y | tau | s] layout (parity: reference ``cache.py:235-242``,
+    with lstsq-per-iteration replaced by a precomputed projector)."""
+    tree = spec.tree
+    NL = tree.num_nonleaf_nodes
+    Y = 2 * d_max + 1
+    D = 4 * d_max + 1
+    Pi = np.zeros((NL, D, D))
+    cache = {}
+    for i in range(NL):
+        risk = spec.risk_at_node(i)
+        E, F = risk.matrix_e, risk.matrix_f
+        c = tree.child_count[i]
+        key = (E.tobytes(), F.tobytes(), int(c))
+        if key not in cache:
+            eye = np.eye(c)
+            zeros = np.zeros((F.shape[1], c))
+            M = np.vstack((np.hstack((E.T, -eye, -eye)),
+                           np.hstack((F.T, zeros, zeros))))
+            # Pi_small = I - M'(MM')^+ M  (pinv guards rank deficiency;
+            # equals the reference's null-space projector)
+            MMt_inv = np.linalg.pinv(M @ M.T)
+            Pi_small = np.eye(M.shape[1]) - M.T @ MMt_inv @ M
+            # embed unpadded coords [y(2c+1), tau(c), s(c)] into the padded
+            # layout: y NnOC part -> slots [0,2c), y Zero part -> slot 2d,
+            # tau_j -> Y+j, s_j -> Y+d+j
+            emb = np.concatenate((
+                np.arange(2 * c), [2 * d_max],
+                Y + np.arange(c),
+                Y + d_max + np.arange(c)))
+            Pi_pad = np.zeros((D, D))
+            Pi_pad[np.ix_(emb, emb)] = Pi_small
+            cache[key] = Pi_pad
+        Pi[i] = cache[key]
+    return Pi
+
+
+def build_stacked(spec: RAOCP, dtype=None) -> StackedProblem:
+    """Materialise a :class:`StackedProblem` from a problem specification."""
+    if dtype is None:
+        dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    tree = spec.tree
+    N = tree.num_nodes
+    NL = tree.num_nonleaf_nodes
+    LF = N - NL
+    n = spec.state_size
+    m = spec.control_size
+    d = tree.max_branching
+    Y = 2 * d + 1
+
+    A, B, P, Rinv, K, Abar, sumAPB = _offline_riccati(spec, n, m)
+    Pi = _offline_kernel_projectors(spec, d)
+
+    sqrtQ = np.zeros((N, n, n))
+    sqrtR = np.zeros((N, m, m))
+    for j in range(1, N):
+        cost = spec.nonleaf_cost_at_node(j)
+        sqrtQ[j] = cost.sqrt_state_weights
+        sqrtR[j] = cost.sqrt_control_weights
+    sqrtP = np.zeros((LF, n, n))
+    for i in range(NL, N):
+        sqrtP[i - NL] = spec.leaf_cost_at_node(i).sqrt_state_weights
+
+    # risk b vectors + masks in the padded layout
+    b_pad = np.zeros((NL, Y))
+    y_mask = np.zeros((NL, Y))
+    for i in range(NL):
+        c = tree.child_count[i]
+        b = spec.risk_at_node(i).vector_b.reshape(-1)   # [pi; 0_c; 1]
+        b_pad[i, :2 * c] = b[:2 * c]
+        b_pad[i, 2 * d] = b[2 * c]
+        y_mask[i, :2 * c] = 1.0
+        y_mask[i, 2 * d] = 1.0
+    zero_slot = np.zeros(Y, dtype=bool)
+    zero_slot[2 * d] = True
+
+    # box constraints
+    nl_lo = np.full((NL, n + m), -np.inf)
+    nl_hi = np.full((NL, n + m), np.inf)
+    nl_active = np.zeros(NL)
+    for i in range(NL):
+        con = spec.nonleaf_constraint_at_node(i)
+        if con.is_active:
+            nl_active[i] = 1.0
+            nl_lo[i] = con.min
+            nl_hi[i] = con.max
+    l_lo = np.full((LF, n), -np.inf)
+    l_hi = np.full((LF, n), np.inf)
+    l_active = np.zeros(LF)
+    for i in range(NL, N):
+        con = spec.leaf_constraint_at_node(i)
+        if con.is_active:
+            l_active[i - NL] = 1.0
+            l_lo[i - NL] = con.min
+            l_hi[i - NL] = con.max
+
+    anc = tree.ancestors.copy()
+    anc[0] = 0
+    nz_mask = np.ones(N)
+    nz_mask[0] = 0.0
+
+    def dev(x, dt=dtype):
+        return jnp.asarray(x, dtype=dt)
+
+    return StackedProblem(
+        n=n, m=m, num_nodes=N, num_nonleaf=NL, num_leaf=LF,
+        d_max=d, num_stages=tree.num_stages,
+        stage_start=tuple(int(v) for v in tree.stage_start),
+        anc=dev(anc, jnp.int32),
+        child_idx=dev(tree.children_padded, jnp.int32),
+        child_mask=dev(tree.children_mask.astype(np.float64)),
+        child_rank=dev(tree.child_rank, jnp.int32),
+        nz_mask=dev(nz_mask),
+        zero_slot=jnp.asarray(zero_slot),
+        A=dev(A), B=dev(B), sqrtQ=dev(sqrtQ), sqrtR=dev(sqrtR),
+        sqrtP=dev(sqrtP),
+        b_pad=dev(b_pad), y_mask=dev(y_mask),
+        nl_lo=dev(nl_lo), nl_hi=dev(nl_hi), nl_active=dev(nl_active),
+        l_lo=dev(l_lo), l_hi=dev(l_hi), l_active=dev(l_active),
+        P=dev(P), Rinv=dev(Rinv), K=dev(K), Abar=dev(Abar),
+        sumAPB=dev(sumAPB), Pi=dev(Pi),
+    )

@@ -1,0 +1,61 @@
+"""Batched conic projections (pure jnp functions, vmapped over tree nodes).
+
+These are the device-side counterparts of the single-vector cone classes in
+:mod:`raocp_tpu.core.constraints.cones` (reference
+``raocp/core/constraints/cones.py``): elementwise max/clip for the orthant
+and box, a select-based three-case formula for the second-order cone, and a
+masked orthant+identity map for the (padded) risk ambiguity dual cone.
+All are safe under padding: zero inputs map to zero outputs.
+"""
+
+import jax.numpy as jnp
+
+__all__ = ["nonneg_project", "box_project", "soc_project",
+           "soc_project_parts", "risk_dual_project"]
+
+
+def nonneg_project(v):
+    """Projection onto R^n_+ (self-dual)."""
+    return jnp.maximum(v, 0)
+
+
+def box_project(v, lo, hi):
+    """Projection onto the box [lo, hi] (+-inf entries = unbounded)."""
+    return jnp.clip(v, lo, hi)
+
+
+def soc_project_parts(x, t):
+    """Projection onto the second-order cone {(x, t): ||x|| <= t}.
+
+    ``x``: [..., k] head, ``t``: [...] tail. Returns (proj_x, proj_t).
+    Three-case formula (parity: reference ``cones.py:113-135``), expressed
+    with selects so it batches on the VPU.
+    """
+    nx = jnp.sqrt(jnp.sum(x * x, axis=-1))
+    in_cone = nx <= t
+    in_polar = nx <= -t
+    half = 0.5 * (nx + t)
+    # guard the 0/0 at the origin (origin is in the cone, so branch unused)
+    safe_nx = jnp.where(nx > 0, nx, 1)
+    scale = jnp.where(in_cone, 1.0, half / safe_nx)
+    scale = jnp.where(in_polar, 0.0, scale)
+    proj_x = x * scale[..., None]
+    proj_t = jnp.where(in_cone, t, jnp.where(in_polar, 0.0, half))
+    return proj_x, proj_t
+
+
+def soc_project(v):
+    """SOC projection of stacked [..., k] vectors (last coordinate = t)."""
+    proj_x, proj_t = soc_project_parts(v[..., :-1], v[..., -1])
+    return jnp.concatenate([proj_x, proj_t[..., None]], axis=-1)
+
+
+def risk_dual_project(v, zero_slot):
+    """Projection onto the dual of the AVaR ambiguity cone, padded layout.
+
+    The cone is NonnegativeOrthant(2c) x Zero(1); its dual is
+    NnOC(2c) x Real(1). In the padded layout the Zero/Real coordinate sits at
+    the fixed slot ``2*d_max`` (`zero_slot` mask), NnOC coordinates at
+    [0, 2c), and padded slots carry zeros (max(0, 0) = 0 keeps them zero).
+    """
+    return jnp.where(zero_slot, v, jnp.maximum(v, 0))

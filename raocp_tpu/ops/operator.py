@@ -1,0 +1,79 @@
+"""The Chambolle-Pock linear operator L and its adjoint L' — the hot kernels.
+
+The reference implements these as Python loops over nodes
+(``raocp/core/operators.py:19`` ``ell`` and ``:55`` ``ell_transpose``). Here
+each is ONE fused batched computation over the stacked pytrees: parent-index
+gathers, batched einsum matmuls (MXU), and padded child-table reductions —
+no per-node control flow, fully jittable and shardable over the node axis.
+
+Mathematical definition (per nonleaf node i, child j, leaf l):
+  eta1_i = y_i                       eta2_i = s_i - b_i'y_i
+  eta3_j = sqrt(Q_j) x_i             eta4_j = sqrt(R_j) u_i
+  eta5_j = eta6_j = tau_j / 2        eta7_i = [x_i; u_i]   (box rows)
+  eta11_l = sqrt(P) x_l              eta12_l = eta13_l = s_l / 2
+  eta14_l = x_l
+and ell_t is the exact adjoint (verified segment-by-segment in
+``tests/test_operator.py``, mirroring the reference's 13 pairing tests).
+"""
+
+import jax.numpy as jnp
+
+from raocp_tpu.core.stacked import StackedProblem
+from raocp_tpu.core.variables import Primal, Dual
+
+__all__ = ["ell", "ell_t", "sum_over_children"]
+
+
+def sum_over_children(sp: StackedProblem, w):
+    """[num_nodes, ...] child-indexed values -> [num_nonleaf, ...] sums over
+    each node's children, via the padded child table (gather + masked sum)."""
+    gathered = w[sp.child_idx]                       # [NL, d_max, ...]
+    mask = sp.child_mask
+    mask = mask.reshape(mask.shape + (1,) * (gathered.ndim - mask.ndim))
+    return jnp.sum(gathered * mask, axis=1)
+
+
+def ell(sp: StackedProblem, z: Primal) -> Dual:
+    """Apply L: primal -> dual (parity: reference ``operators.py:19-53``)."""
+    NL = sp.num_nonleaf
+    x_parent = z.x[sp.anc]                           # [N, n] (row 0 unused)
+    u_parent = z.u[sp.anc]                           # [N, m]
+
+    e1 = z.y
+    e2 = z.s[:NL] - jnp.sum(sp.b_pad * z.y, axis=1)
+    e3 = jnp.einsum("jab,jb->ja", sp.sqrtQ, x_parent)
+    e4 = jnp.einsum("jab,jb->ja", sp.sqrtR, u_parent)
+    half_tau = 0.5 * z.tau * sp.nz_mask
+    e7 = jnp.concatenate([z.x[:NL], z.u], axis=1) * sp.nl_active[:, None]
+
+    x_leaf = z.x[NL:]
+    e11 = jnp.einsum("lab,lb->la", sp.sqrtP, x_leaf)
+    half_s = 0.5 * z.s[NL:]
+    e14 = x_leaf * sp.l_active[:, None]
+
+    return Dual(e1=e1, e2=e2, e3=e3, e4=e4, e5=half_tau, e6=half_tau,
+                e7=e7, e11=e11, e12=half_s, e13=half_s, e14=e14)
+
+
+def ell_t(sp: StackedProblem, eta: Dual) -> Primal:
+    """Apply L' (exact adjoint of :func:`ell`; parity: reference
+    ``operators.py:55-94``)."""
+    NL = sp.num_nonleaf
+    n = sp.n
+
+    y = eta.e1 - sp.b_pad * eta.e2[:, None]
+
+    # x/u contributions from the SOC heads, summed back over children
+    w3 = jnp.einsum("jab,ja->jb", sp.sqrtQ, eta.e3)  # sqrtQ' e3 per child
+    w4 = jnp.einsum("jab,ja->jb", sp.sqrtR, eta.e4)
+    x_nl = eta.e7[:, :n] * sp.nl_active[:, None] + sum_over_children(sp, w3)
+    u = eta.e7[:, n:] * sp.nl_active[:, None] + sum_over_children(sp, w4)
+
+    x_leaf = (jnp.einsum("lab,la->lb", sp.sqrtP, eta.e11)
+              + eta.e14 * sp.l_active[:, None])
+    x = jnp.concatenate([x_nl, x_leaf], axis=0)
+
+    tau = 0.5 * (eta.e5 + eta.e6) * sp.nz_mask
+    s = jnp.concatenate([eta.e2, 0.5 * (eta.e12 + eta.e13)], axis=0)
+
+    return Primal(x=x, u=u, y=y, tau=tau, s=s)

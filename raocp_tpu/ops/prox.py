@@ -1,0 +1,132 @@
+"""Proximal maps of the Chambolle-Pock iteration (batched, jittable).
+
+prox_f — reference ``cache.py:248-317`` — is the projection of (x, u) onto
+the dynamics subspace via a backward/forward dynamic-programming sweep, plus
+the projection of (y, tau+, s+) onto the risk-recursion kernel. Both stage
+sweeps are trace-time loops over contiguous stage slices (static shapes ⇒
+XLA tiles every slice as one batched matmul on the MXU); the kernel
+projection is a single precomputed-projector batched matmul.
+
+prox_g* — reference ``cache.py:321-393`` — is computed via the Moreau
+identity: scale, epigraph half-shifts, batched cone/box projections, and the
+final ``alpha * (modified - projected)`` combine.
+"""
+
+import jax.numpy as jnp
+
+from raocp_tpu.core.stacked import StackedProblem
+from raocp_tpu.core.variables import Primal, Dual
+from raocp_tpu.ops.cones import (box_project, nonneg_project,
+                                 risk_dual_project, soc_project_parts)
+
+__all__ = ["prox_f", "prox_g_conj", "project_dynamics", "project_kernel"]
+
+
+def project_dynamics(sp: StackedProblem, x_in, u_in, x0):
+    """Project (x, u) onto {x_j = A_j x_i + B_j u_i, x_0 = x0}.
+
+    Backward sweep (parity: reference ``cache.py:259-280``):
+      q_leaf = -x_leaf
+      d_i = Rtilde_i^{-1} (u_i - sum_j B_j'q_j)
+      q_i = -x_i + K_i'(d_i - u_i) + sum_j Abar_j'(P_jB_j d_i + q_j)
+    Forward rollout (``cache.py:282-288``):
+      u_i = K_i x_i + d_i ;  x_j = Abar_j x_i + B_j d_i
+    """
+    ss = sp.stage_start
+    N, NL, n, m = sp.num_nodes, sp.num_nonleaf, sp.n, sp.m
+
+    q = jnp.zeros((N, n), sp.dtype).at[NL:].set(-x_in[NL:])
+    d = jnp.zeros((NL, m), sp.dtype)
+
+    for k in range(sp.num_stages - 2, -1, -1):
+        a, b = ss[k], ss[k + 1]        # nonleaf nodes of stage k
+        a2, b2 = ss[k + 1], ss[k + 2]  # their children
+        qc = q[a2:b2]
+        rel = jnp.clip(sp.child_idx[a:b] - a2, 0, b2 - a2 - 1)
+        mask = sp.child_mask[a:b][..., None]
+
+        Btq = jnp.einsum("jab,ja->jb", sp.B[a2:b2], qc)       # B_j'q_j
+        sum_d = jnp.sum(Btq[rel] * mask, axis=1)              # [W, m]
+        d_k = jnp.einsum("iab,ib->ia", sp.Rinv[a:b], u_in[a:b] - sum_d)
+
+        Atq = jnp.einsum("jab,ja->jb", sp.Abar[a2:b2], qc)    # Abar_j'q_j
+        sum_q = jnp.sum(Atq[rel] * mask, axis=1)              # [W, n]
+        q_k = (-x_in[a:b]
+               + jnp.einsum("iab,ia->ib", sp.K[a:b], d_k - u_in[a:b])
+               + jnp.einsum("iab,ib->ia", sp.sumAPB[a:b], d_k)
+               + sum_q)
+        q = q.at[a:b].set(q_k)
+        d = d.at[a:b].set(d_k)
+
+    x = jnp.zeros((N, n), sp.dtype).at[0].set(x0)
+    u = jnp.zeros((NL, m), sp.dtype)
+    for k in range(sp.num_stages - 1):
+        a, b = ss[k], ss[k + 1]
+        a2, b2 = ss[k + 1], ss[k + 2]
+        u_k = jnp.einsum("iab,ib->ia", sp.K[a:b], x[a:b]) + d[a:b]
+        u = u.at[a:b].set(u_k)
+        anc_c = sp.anc[a2:b2]
+        x_c = (jnp.einsum("jab,jb->ja", sp.Abar[a2:b2], x[anc_c])
+               + jnp.einsum("jab,jb->ja", sp.B[a2:b2], d[anc_c]))
+        x = x.at[a2:b2].set(x_c)
+    return x, u
+
+
+def project_kernel(sp: StackedProblem, y, tau, s):
+    """Project (y_i, tau_children, s_children) onto ker(M_i) for every
+    nonleaf node i at once (parity: reference ``cache.py:290-317``, with the
+    per-iteration lstsq replaced by the precomputed orthogonal projector)."""
+    Y = sp.Y
+    d = sp.d_max
+    tau_c = tau[sp.child_idx] * sp.child_mask      # [NL, d]
+    s_c = s[sp.child_idx] * sp.child_mask
+    v = jnp.concatenate([y, tau_c, s_c], axis=1)   # [NL, D]
+    w = jnp.einsum("iab,ib->ia", sp.Pi, v)
+
+    y_new = w[:, :Y]
+    w_tau = w[:, Y:Y + d]
+    w_s = w[:, Y + d:]
+    # scatter back: node j (>=1) reads slot child_rank[j] of its parent
+    tau_upd = w_tau[sp.anc, sp.child_rank]
+    s_upd = w_s[sp.anc, sp.child_rank]
+    nz = sp.nz_mask > 0
+    tau_new = jnp.where(nz, tau_upd, tau)
+    s_new = jnp.where(nz, s_upd, s)
+    return y_new, tau_new, s_new
+
+
+def prox_f(sp: StackedProblem, z: Primal, alpha, x0) -> Primal:
+    """prox of alpha*f at z (parity: reference ``cache.py:248-251``):
+    s_0 shift, dynamics projection, kernel projection."""
+    s = z.s.at[0].add(-alpha)
+    x, u = project_dynamics(sp, z.x, z.u, x0)
+    y, tau, s = project_kernel(sp, z.y, z.tau, s)
+    return Primal(x=x, u=u, y=y, tau=tau, s=s)
+
+
+def prox_g_conj(sp: StackedProblem, eta: Dual, alpha) -> Dual:
+    """prox of alpha*g* at eta via the Moreau identity
+    (parity: reference ``cache.py:321-393``)."""
+    n, m = sp.n, sp.m
+    inv = 1.0 / alpha
+    mod = Dual(*(inv * part for part in eta))
+    # epigraph half-shifts (reference add_halves, cache.py:334-347)
+    mod = mod._replace(e5=mod.e5 - 0.5, e6=mod.e6 + 0.5,
+                       e12=mod.e12 - 0.5, e13=mod.e13 + 0.5)
+
+    # batched projections (reference algo 7, cache.py:349-390)
+    p1 = risk_dual_project(mod.e1, sp.zero_slot)
+    p2 = nonneg_project(mod.e2)
+    soc_head = jnp.concatenate([mod.e3, mod.e4, mod.e5[:, None]], axis=1)
+    px, pt = soc_project_parts(soc_head, mod.e6)
+    p3, p4, p5, p6 = px[:, :n], px[:, n:n + m], px[:, -1], pt
+    p7 = box_project(mod.e7, sp.nl_lo, sp.nl_hi)
+    leaf_head = jnp.concatenate([mod.e11, mod.e12[:, None]], axis=1)
+    plx, plt = soc_project_parts(leaf_head, mod.e13)
+    p11, p12, p13 = plx[:, :n], plx[:, -1], plt
+    p14 = box_project(mod.e14, sp.l_lo, sp.l_hi)
+    proj = Dual(e1=p1, e2=p2, e3=p3, e4=p4, e5=p5, e6=p6, e7=p7,
+                e11=p11, e12=p12, e13=p13, e14=p14)
+
+    # Moreau: eta+ = alpha * (modified - projected)
+    return Dual(*(alpha * (mp - pp) for mp, pp in zip(mod, proj)))

@@ -1,0 +1,71 @@
+"""Result plotting (matplotlib).
+
+Parity: reference ``solver.py:187-253`` — residual curves and per-scenario
+state/input trajectory fans (the reference additionally exports tikz via
+tikzplotlib; here figures are saved directly).
+"""
+
+from typing import Optional
+
+import numpy as np
+
+__all__ = ["plot_residuals", "plot_solution"]
+
+
+def plot_residuals(result, filename: Optional[str] = None, show: bool = True):
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots()
+    for idx, label in enumerate(("xi_0", "xi_1", "xi_2")):
+        ax.semilogy(result.xi_history[:, idx], linewidth=2, label=label)
+    ax.set_title("Residual values of Chambolle-Pock algorithm iterations")
+    ax.set_ylabel("log(residual value)", fontsize=12)
+    ax.set_xlabel("iteration", fontsize=12)
+    ax.legend()
+    if filename is not None:
+        fig.savefig(filename)
+    if show:
+        plt.show()
+    return fig
+
+
+def plot_solution(tree, result, filename: Optional[str] = None,
+                  show: bool = True):
+    import matplotlib.pyplot as plt
+
+    x = np.asarray(result.primal.x)
+    u = np.asarray(result.primal.u)
+    n, m = x.shape[1], u.shape[1]
+    num_stages = tree.num_stages
+    fig, axs = plt.subplots(2, max(n, m), sharex="all", sharey="row",
+                            squeeze=False)
+    fig.set_size_inches(15, 8)
+
+    leaves = tree.nodes_at_stage(num_stages - 1)
+    for element in range(n):
+        for leaf in leaves:
+            path, j = [], leaf
+            while j >= 0:
+                path.append((tree.stage_of(j), x[j, element]))
+                j = tree.ancestor_of(j)
+            path = np.asarray(path, dtype=float)
+            axs[0, element].plot(path[:, 0], path[:, 1])
+        axs[0, element].set_title(f"state element, x_{element}(t)")
+    for element in range(m):
+        for leaf in leaves:
+            path, j = [], tree.ancestor_of(leaf)
+            while j >= 0:
+                path.append((tree.stage_of(j), u[j, element]))
+                j = tree.ancestor_of(j)
+            path = np.asarray(path, dtype=float)
+            axs[1, element].plot(path[:, 0], path[:, 1])
+        axs[1, element].set_title(f"control element, u_{element}(t)")
+    for ax in axs.flat:
+        ax.set(xlabel="stage, t", ylabel="value")
+        ax.label_outer()
+    fig.tight_layout()
+    if filename is not None:
+        fig.savefig(filename)
+    if show:
+        plt.show()
+    return fig
