@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""Headline benchmark: CP iterations/s on a ~10^4-node scenario-tree RAOCP.
+
+Problem: BASELINE.json config 4 scale — 50-state / 20-input network, 3-mode
+Markov chain, 9841 nodes (3^0..3^8), AVaR(0.95), box constraints. Runs on
+whatever accelerator JAX sees (the real TPU chip under the driver), float32.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": iters/s, "unit": "iter/s", "vs_baseline": ratio}
+
+vs_baseline compares against the reference's pure-NumPy implementation on
+the same problem, measured once by scripts/measure_reference.py and recorded
+in BASELINE_MEASURED.json (iterations/s, CPU).
+"""
+
+import json
+import os
+import time
+
+
+BENCH_ITERS = 200
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from raocp_tpu.models import random_network_problem
+    from raocp_tpu.solver import Solver, _power_iteration, _run_cp
+
+    problem, x0 = random_network_problem(
+        num_states=50, num_inputs=20, num_modes=3, num_stages=8,
+        stopping_time=8)
+    solver = Solver(problem, dtype=jnp.float32)
+    sp = solver.stacked
+
+    lam, _ = _power_iteration(sp)
+    alpha = jnp.asarray(0.999 / float(lam), sp.dtype)
+    x0j = jnp.asarray(x0, sp.dtype)
+    tol0 = jnp.asarray(0.0, sp.dtype)   # tol 0 => exactly BENCH_ITERS+1 steps
+
+    # compile + warm-up
+    out = _run_cp(sp, x0j, alpha, alpha, tol0, BENCH_ITERS)
+    jax.block_until_ready(out)
+
+    tic = time.perf_counter()
+    out = _run_cp(sp, x0j, alpha, alpha, tol0, BENCH_ITERS)
+    jax.block_until_ready(out)
+    toc = time.perf_counter()
+
+    iters = int(out[2])
+    ips = iters / (toc - tic)
+
+    vs_baseline = None
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BASELINE_MEASURED.json")
+    if os.path.exists(base_path):
+        with open(base_path) as fh:
+            base = json.load(fh)
+        ref_ips = base.get("reference_iters_per_s")
+        if ref_ips:
+            vs_baseline = ips / ref_ips
+
+    print(json.dumps({
+        "metric": "cp_iterations_per_s_9841node_50state_tree",
+        "value": round(ips, 3),
+        "unit": "iter/s",
+        "vs_baseline": round(vs_baseline, 2) if vs_baseline else None,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -30,6 +30,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from raocp_tpu.core.modal import ModalMatrix, from_dense_stack
 from raocp_tpu.core.spec import RAOCP
 from raocp_tpu.core.variables import Primal, Dual
 
@@ -50,6 +51,12 @@ class StackedProblem:
     d_max: int = dataclasses.field(metadata=dict(static=True))
     num_stages: int = dataclasses.field(metadata=dict(static=True))
     stage_start: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
+    # padded row counts of the three node spaces (>= the real counts; ghost
+    # rows are engineered to stay zero through every op, so arrays can be
+    # sharded evenly over a device mesh)
+    np_pad: int = dataclasses.field(metadata=dict(static=True))
+    nl_pad: int = dataclasses.field(metadata=dict(static=True))
+    lf_pad: int = dataclasses.field(metadata=dict(static=True))
 
     # -- index plans ---------------------------------------------------------
     anc: jax.Array          # [num_nodes] parent (anc[0] = 0)
@@ -62,9 +69,9 @@ class StackedProblem:
     # -- problem data ----------------------------------------------------------
     A: jax.Array            # [num_nodes, n, n]; row 0 zero
     B: jax.Array            # [num_nodes, n, m]; row 0 zero
-    sqrtQ: jax.Array        # [num_nodes, n, n]; row 0 zero
-    sqrtR: jax.Array        # [num_nodes, m, m]; row 0 zero
-    sqrtP: jax.Array        # [num_leaf, n, n]
+    sqrtQ: ModalMatrix      # [num_nodes, n, n]; row 0 zero (mode-grouped)
+    sqrtR: ModalMatrix      # [num_nodes, m, m]; row 0 zero (mode-grouped)
+    sqrtP: ModalMatrix      # [num_leaf, n, n] (mode-grouped)
     b_pad: jax.Array        # [num_nonleaf, Y] risk vector b (padded layout)
     y_mask: jax.Array       # [num_nonleaf, Y] 1.0 on real y coordinates
     nl_lo: jax.Array        # [num_nonleaf, n+m] box lower bound (-inf where free)
@@ -99,27 +106,27 @@ class StackedProblem:
     def zero_primal(self) -> Primal:
         dt = self.dtype
         return Primal(
-            x=jnp.zeros((self.num_nodes, self.n), dt),
-            u=jnp.zeros((self.num_nonleaf, self.m), dt),
-            y=jnp.zeros((self.num_nonleaf, self.Y), dt),
-            tau=jnp.zeros((self.num_nodes,), dt),
-            s=jnp.zeros((self.num_nodes,), dt),
+            x=jnp.zeros((self.np_pad, self.n), dt),
+            u=jnp.zeros((self.nl_pad, self.m), dt),
+            y=jnp.zeros((self.nl_pad, self.Y), dt),
+            tau=jnp.zeros((self.np_pad,), dt),
+            s=jnp.zeros((self.np_pad,), dt),
         )
 
     def zero_dual(self) -> Dual:
         dt = self.dtype
         return Dual(
-            e1=jnp.zeros((self.num_nonleaf, self.Y), dt),
-            e2=jnp.zeros((self.num_nonleaf,), dt),
-            e3=jnp.zeros((self.num_nodes, self.n), dt),
-            e4=jnp.zeros((self.num_nodes, self.m), dt),
-            e5=jnp.zeros((self.num_nodes,), dt),
-            e6=jnp.zeros((self.num_nodes,), dt),
-            e7=jnp.zeros((self.num_nonleaf, self.n + self.m), dt),
-            e11=jnp.zeros((self.num_leaf, self.n), dt),
-            e12=jnp.zeros((self.num_leaf,), dt),
-            e13=jnp.zeros((self.num_leaf,), dt),
-            e14=jnp.zeros((self.num_leaf, self.n), dt),
+            e1=jnp.zeros((self.nl_pad, self.Y), dt),
+            e2=jnp.zeros((self.nl_pad,), dt),
+            e3=jnp.zeros((self.np_pad, self.n), dt),
+            e4=jnp.zeros((self.np_pad, self.m), dt),
+            e5=jnp.zeros((self.np_pad,), dt),
+            e6=jnp.zeros((self.np_pad,), dt),
+            e7=jnp.zeros((self.nl_pad, self.n + self.m), dt),
+            e11=jnp.zeros((self.lf_pad, self.n), dt),
+            e12=jnp.zeros((self.lf_pad,), dt),
+            e13=jnp.zeros((self.lf_pad,), dt),
+            e14=jnp.zeros((self.lf_pad, self.n), dt),
         )
 
 
@@ -216,8 +223,24 @@ def _offline_kernel_projectors(spec: RAOCP, d_max: int) -> np.ndarray:
     return Pi
 
 
-def build_stacked(spec: RAOCP, dtype=None) -> StackedProblem:
-    """Materialise a :class:`StackedProblem` from a problem specification."""
+def _pad0(arr: np.ndarray, rows: int, fill: float = 0.0) -> np.ndarray:
+    """Pad axis 0 of a numpy array to ``rows`` with ``fill``."""
+    extra = rows - arr.shape[0]
+    if extra == 0:
+        return arr
+    pad = np.full((extra,) + arr.shape[1:], fill, dtype=arr.dtype)
+    return np.concatenate([arr, pad], axis=0)
+
+
+def build_stacked(spec: RAOCP, dtype=None,
+                  pad_multiple: int = 1) -> StackedProblem:
+    """Materialise a :class:`StackedProblem` from a problem specification.
+
+    ``pad_multiple``: pad each node space (all-node / nonleaf / leaf) to a
+    multiple of this, so the arrays shard evenly over that many devices.
+    Ghost rows are zero (bounds: +-inf) and provably stay zero through every
+    operator/prox (see tests/test_sharding.py).
+    """
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
     tree = spec.tree
@@ -228,6 +251,11 @@ def build_stacked(spec: RAOCP, dtype=None) -> StackedProblem:
     m = spec.control_size
     d = tree.max_branching
     Y = 2 * d + 1
+
+    def up(v: int) -> int:
+        return -(-v // pad_multiple) * pad_multiple
+
+    NP_, NLP, LFP = up(N), up(NL), up(LF)
 
     A, B, P, Rinv, K, Abar, sumAPB = _offline_riccati(spec, n, m)
     Pi = _offline_kernel_projectors(spec, d)
@@ -287,17 +315,25 @@ def build_stacked(spec: RAOCP, dtype=None) -> StackedProblem:
         n=n, m=m, num_nodes=N, num_nonleaf=NL, num_leaf=LF,
         d_max=d, num_stages=tree.num_stages,
         stage_start=tuple(int(v) for v in tree.stage_start),
-        anc=dev(anc, jnp.int32),
-        child_idx=dev(tree.children_padded, jnp.int32),
-        child_mask=dev(tree.children_mask.astype(np.float64)),
-        child_rank=dev(tree.child_rank, jnp.int32),
-        nz_mask=dev(nz_mask),
+        np_pad=NP_, nl_pad=NLP, lf_pad=LFP,
+        anc=dev(_pad0(anc, NP_), jnp.int32),
+        child_idx=dev(_pad0(tree.children_padded, NLP), jnp.int32),
+        child_mask=dev(_pad0(tree.children_mask.astype(np.float64), NLP)),
+        child_rank=dev(_pad0(tree.child_rank, NP_), jnp.int32),
+        nz_mask=dev(_pad0(nz_mask, NP_)),
         zero_slot=jnp.asarray(zero_slot),
-        A=dev(A), B=dev(B), sqrtQ=dev(sqrtQ), sqrtR=dev(sqrtR),
-        sqrtP=dev(sqrtP),
-        b_pad=dev(b_pad), y_mask=dev(y_mask),
-        nl_lo=dev(nl_lo), nl_hi=dev(nl_hi), nl_active=dev(nl_active),
-        l_lo=dev(l_lo), l_hi=dev(l_hi), l_active=dev(l_active),
-        P=dev(P), Rinv=dev(Rinv), K=dev(K), Abar=dev(Abar),
-        sumAPB=dev(sumAPB), Pi=dev(Pi),
+        A=dev(_pad0(A, NP_)), B=dev(_pad0(B, NP_)),
+        sqrtQ=from_dense_stack(_pad0(sqrtQ, NP_), dtype),
+        sqrtR=from_dense_stack(_pad0(sqrtR, NP_), dtype),
+        sqrtP=from_dense_stack(_pad0(sqrtP, LFP), dtype),
+        b_pad=dev(_pad0(b_pad, NLP)), y_mask=dev(_pad0(y_mask, NLP)),
+        nl_lo=dev(_pad0(nl_lo, NLP, -np.inf)),
+        nl_hi=dev(_pad0(nl_hi, NLP, np.inf)),
+        nl_active=dev(_pad0(nl_active, NLP)),
+        l_lo=dev(_pad0(l_lo, LFP, -np.inf)),
+        l_hi=dev(_pad0(l_hi, LFP, np.inf)),
+        l_active=dev(_pad0(l_active, LFP)),
+        P=dev(_pad0(P, NP_)), Rinv=dev(_pad0(Rinv, NLP)),
+        K=dev(_pad0(K, NLP)), Abar=dev(_pad0(Abar, NP_)),
+        sumAPB=dev(_pad0(sumAPB, NLP)), Pi=dev(_pad0(Pi, NLP)),
     )

@@ -108,7 +108,7 @@ def _mass_spring_matrices(num_masses: int, dt: float = 0.05,
 
 
 def mass_spring_problem(num_masses: int = 5, num_stages: int = 6,
-                        stopping_time: int = 6, alpha: float = 0.95):
+                        stopping_time: int = None, alpha: float = 0.95):
     """Mass-spring chain (10 states at default), branching-2 tree
     (BASELINE config 2)."""
     p = np.array([[0.7, 0.3], [0.4, 0.6]])

@@ -21,7 +21,19 @@ import jax.numpy as jnp
 from raocp_tpu.core.stacked import StackedProblem
 from raocp_tpu.core.variables import Primal, Dual
 
-__all__ = ["ell", "ell_t", "sum_over_children"]
+__all__ = ["ell", "ell_t", "sum_over_children", "repad"]
+
+
+def repad(arr, rows: int):
+    """Pad axis 0 with zeros up to ``rows`` (no-op when already there).
+
+    Used at the boundaries between the three node spaces (all-node, nonleaf,
+    leaf), each of which is padded independently for even mesh sharding."""
+    extra = rows - arr.shape[0]
+    if extra == 0:
+        return arr
+    return jnp.concatenate(
+        [arr, jnp.zeros((extra,) + arr.shape[1:], arr.dtype)], axis=0)
 
 
 def sum_over_children(sp: StackedProblem, w):
@@ -35,20 +47,21 @@ def sum_over_children(sp: StackedProblem, w):
 
 def ell(sp: StackedProblem, z: Primal) -> Dual:
     """Apply L: primal -> dual (parity: reference ``operators.py:19-53``)."""
-    NL = sp.num_nonleaf
+    NL, N = sp.num_nonleaf, sp.num_nodes
     x_parent = z.x[sp.anc]                           # [N, n] (row 0 unused)
     u_parent = z.u[sp.anc]                           # [N, m]
 
     e1 = z.y
-    e2 = z.s[:NL] - jnp.sum(sp.b_pad * z.y, axis=1)
-    e3 = jnp.einsum("jab,jb->ja", sp.sqrtQ, x_parent)
-    e4 = jnp.einsum("jab,jb->ja", sp.sqrtR, u_parent)
+    e2 = repad(z.s[:NL], sp.nl_pad) - jnp.sum(sp.b_pad * z.y, axis=1)
+    e3 = sp.sqrtQ.matvec(x_parent)
+    e4 = sp.sqrtR.matvec(u_parent)
     half_tau = 0.5 * z.tau * sp.nz_mask
-    e7 = jnp.concatenate([z.x[:NL], z.u], axis=1) * sp.nl_active[:, None]
+    e7 = (jnp.concatenate([repad(z.x[:NL], sp.nl_pad), z.u], axis=1)
+          * sp.nl_active[:, None])
 
-    x_leaf = z.x[NL:]
-    e11 = jnp.einsum("lab,lb->la", sp.sqrtP, x_leaf)
-    half_s = 0.5 * z.s[NL:]
+    x_leaf = repad(z.x[NL:N], sp.lf_pad)
+    e11 = sp.sqrtP.matvec(x_leaf)
+    half_s = 0.5 * repad(z.s[NL:N], sp.lf_pad)
     e14 = x_leaf * sp.l_active[:, None]
 
     return Dual(e1=e1, e2=e2, e3=e3, e4=e4, e5=half_tau, e6=half_tau,
@@ -58,22 +71,23 @@ def ell(sp: StackedProblem, z: Primal) -> Dual:
 def ell_t(sp: StackedProblem, eta: Dual) -> Primal:
     """Apply L' (exact adjoint of :func:`ell`; parity: reference
     ``operators.py:55-94``)."""
-    NL = sp.num_nonleaf
+    NL, LF = sp.num_nonleaf, sp.num_leaf
     n = sp.n
 
     y = eta.e1 - sp.b_pad * eta.e2[:, None]
 
     # x/u contributions from the SOC heads, summed back over children
-    w3 = jnp.einsum("jab,ja->jb", sp.sqrtQ, eta.e3)  # sqrtQ' e3 per child
-    w4 = jnp.einsum("jab,ja->jb", sp.sqrtR, eta.e4)
+    w3 = sp.sqrtQ.rmatvec(eta.e3)                    # sqrtQ' e3 per child
+    w4 = sp.sqrtR.rmatvec(eta.e4)
     x_nl = eta.e7[:, :n] * sp.nl_active[:, None] + sum_over_children(sp, w3)
     u = eta.e7[:, n:] * sp.nl_active[:, None] + sum_over_children(sp, w4)
 
-    x_leaf = (jnp.einsum("lab,la->lb", sp.sqrtP, eta.e11)
+    x_leaf = (sp.sqrtP.rmatvec(eta.e11)
               + eta.e14 * sp.l_active[:, None])
-    x = jnp.concatenate([x_nl, x_leaf], axis=0)
+    x = repad(jnp.concatenate([x_nl[:NL], x_leaf[:LF]], axis=0), sp.np_pad)
 
     tau = 0.5 * (eta.e5 + eta.e6) * sp.nz_mask
-    s = jnp.concatenate([eta.e2, 0.5 * (eta.e12 + eta.e13)], axis=0)
+    s = repad(jnp.concatenate(
+        [eta.e2[:NL], 0.5 * (eta.e12 + eta.e13)[:LF]], axis=0), sp.np_pad)
 
     return Primal(x=x, u=u, y=y, tau=tau, s=s)

@@ -22,6 +22,16 @@ from raocp_tpu.ops.cones import (box_project, nonneg_project,
 __all__ = ["prox_f", "prox_g_conj", "project_dynamics", "project_kernel"]
 
 
+def _set_rows(buf, a: int, b: int, val):
+    """Replace rows [a, b) of ``buf`` with ``val`` (static bounds).
+
+    Implemented with concatenate rather than ``.at[a:b].set`` because XLA
+    SPMD miscompiles dynamic-update-slice at non-shard-aligned offsets on a
+    sharded axis (observed: the first row of each shard gets clobbered);
+    concatenate partitions correctly."""
+    return jnp.concatenate([buf[:a], val, buf[b:]], axis=0)
+
+
 def project_dynamics(sp: StackedProblem, x_in, u_in, x0):
     """Project (x, u) onto {x_j = A_j x_i + B_j u_i, x_0 = x0}.
 
@@ -35,8 +45,9 @@ def project_dynamics(sp: StackedProblem, x_in, u_in, x0):
     ss = sp.stage_start
     N, NL, n, m = sp.num_nodes, sp.num_nonleaf, sp.n, sp.m
 
-    q = jnp.zeros((N, n), sp.dtype).at[NL:].set(-x_in[NL:])
-    d = jnp.zeros((NL, m), sp.dtype)
+    q = jnp.concatenate([jnp.zeros((NL, n), sp.dtype), -x_in[NL:N],
+                         jnp.zeros((sp.np_pad - N, n), sp.dtype)])
+    d = jnp.zeros((sp.nl_pad, m), sp.dtype)
 
     for k in range(sp.num_stages - 2, -1, -1):
         a, b = ss[k], ss[k + 1]        # nonleaf nodes of stage k
@@ -55,20 +66,20 @@ def project_dynamics(sp: StackedProblem, x_in, u_in, x0):
                + jnp.einsum("iab,ia->ib", sp.K[a:b], d_k - u_in[a:b])
                + jnp.einsum("iab,ib->ia", sp.sumAPB[a:b], d_k)
                + sum_q)
-        q = q.at[a:b].set(q_k)
-        d = d.at[a:b].set(d_k)
+        q = _set_rows(q, a, b, q_k)
+        d = _set_rows(d, a, b, d_k)
 
-    x = jnp.zeros((N, n), sp.dtype).at[0].set(x0)
-    u = jnp.zeros((NL, m), sp.dtype)
+    x = _set_rows(jnp.zeros((sp.np_pad, n), sp.dtype), 0, 1, x0[None, :])
+    u = jnp.zeros((sp.nl_pad, m), sp.dtype)
     for k in range(sp.num_stages - 1):
         a, b = ss[k], ss[k + 1]
         a2, b2 = ss[k + 1], ss[k + 2]
         u_k = jnp.einsum("iab,ib->ia", sp.K[a:b], x[a:b]) + d[a:b]
-        u = u.at[a:b].set(u_k)
+        u = _set_rows(u, a, b, u_k)
         anc_c = sp.anc[a2:b2]
         x_c = (jnp.einsum("jab,jb->ja", sp.Abar[a2:b2], x[anc_c])
                + jnp.einsum("jab,jb->ja", sp.B[a2:b2], d[anc_c]))
-        x = x.at[a2:b2].set(x_c)
+        x = _set_rows(x, a2, b2, x_c)
     return x, u
 
 
@@ -98,7 +109,9 @@ def project_kernel(sp: StackedProblem, y, tau, s):
 def prox_f(sp: StackedProblem, z: Primal, alpha, x0) -> Primal:
     """prox of alpha*f at z (parity: reference ``cache.py:248-251``):
     s_0 shift, dynamics projection, kernel projection."""
-    s = z.s.at[0].add(-alpha)
+    # root-only shift, written shard-safely (see _set_rows)
+    root = (jnp.arange(sp.np_pad) == 0).astype(sp.dtype)
+    s = z.s - alpha * root
     x, u = project_dynamics(sp, z.x, z.u, x0)
     y, tau, s = project_kernel(sp, z.y, z.tau, s)
     return Primal(x=x, u=u, y=y, tau=tau, s=s)

@@ -32,7 +32,7 @@ from raocp_tpu.core.variables import (Dual, Primal, tree_dot, tree_inf_norm)
 from raocp_tpu.ops.operator import ell, ell_t
 from raocp_tpu.ops.prox import prox_f, prox_g_conj
 
-__all__ = ["Solver", "SolverResult"]
+__all__ = ["Solver", "SolverResult", "cp_iteration"]
 
 
 @dataclasses.dataclass
@@ -51,6 +51,29 @@ class SolverResult:
     @property
     def converged(self) -> bool:
         return self.status == 0
+
+    @property
+    def iters_per_second(self) -> float:
+        return self.num_iters / self.solve_time if self.solve_time else 0.0
+
+    def save_checkpoint(self, path: str) -> None:
+        """Persist (z, eta, k) so a later solve can warm-start
+        (:meth:`Solver.solve` ``warm_start=``). The reference keeps the full
+        per-iteration history in memory but never resumes from it
+        (cache.py:186-196); this is the cheap durable equivalent."""
+        primal = {f"primal_{k}": np.asarray(v)
+                  for k, v in self.primal._asdict().items()}
+        dual = {f"dual_{k}": np.asarray(v)
+                for k, v in self.dual._asdict().items()}
+        np.savez(path, num_iters=self.num_iters, **primal, **dual)
+
+    @staticmethod
+    def load_checkpoint(path: str):
+        """Return (primal, dual, num_iters) from :meth:`save_checkpoint`."""
+        data = np.load(path)
+        primal = Primal(**{k: data[f"primal_{k}"] for k in Primal._fields})
+        dual = Dual(**{k: data[f"dual_{k}"] for k in Dual._fields})
+        return primal, dual, int(data["num_iters"])
 
 
 def _normalise(z, norm):
@@ -88,46 +111,67 @@ def _power_iteration(sp: StackedProblem, max_iters: int = 10000,
     return lam, iters
 
 
-@partial(jax.jit, static_argnames=("max_iters",))
-def _run_cp(sp: StackedProblem, x0, alpha1, alpha2, tol, max_iters: int):
+def cp_iteration(sp: StackedProblem, z, eta, Lz, LtEta, alpha1, alpha2, x0):
+    """One full Chambolle-Pock step + residuals (the flagship jittable step).
+
+    Carries L z and L'eta between iterations so one step costs three operator
+    applies. Returns (z+, eta+, L z+, L'eta+, err, derr) where err/derr are
+    the [xi_0, xi_1, xi_2] / [delta_0, delta_1, delta_2] max-norms.
+    """
+    # primal: z+ = prox_f(z - a1 L'eta)
+    z_half = jax.tree_util.tree_map(lambda a, b: a - alpha1 * b, z, LtEta)
+    z_new = prox_f(sp, z_half, alpha1, x0)
+    Lz_new = ell(sp, z_new)
+    # dual: eta+ = prox_g*(eta + a2 L(2 z+ - z))
+    eta_half = jax.tree_util.tree_map(
+        lambda e, ln, lo: e + alpha2 * (2.0 * ln - lo), eta, Lz_new, Lz)
+    eta_new = prox_g_conj(sp, eta_half, alpha2)
+    LtEta_new = ell_t(sp, eta_new)
+    # residuals (reference solver.py:63-95)
+    xi1 = jax.tree_util.tree_map(
+        lambda a, b, ta, tb: (a - b) / alpha1 - (ta - tb),
+        z, z_new, LtEta, LtEta_new)
+    xi2 = jax.tree_util.tree_map(
+        lambda a, b, la, lb: (a - b) / alpha2 + (la - lb),
+        eta, eta_new, Lz_new, Lz)
+    xi0 = jax.tree_util.tree_map(lambda a, b: a + b, xi1, ell_t(sp, xi2))
+    d1 = jax.tree_util.tree_map(lambda a, b: a - b, z_new, z)
+    d2 = jax.tree_util.tree_map(lambda a, b: a - b, eta_new, eta)
+    d0 = jax.tree_util.tree_map(
+        lambda a, ta, tb: a - (ta - tb), d1, LtEta_new, LtEta)
+    err = jnp.stack([tree_inf_norm(xi0), tree_inf_norm(xi1),
+                     tree_inf_norm(xi2)])
+    derr = jnp.stack([tree_inf_norm(d0), tree_inf_norm(d1),
+                      tree_inf_norm(d2)])
+    return z_new, eta_new, Lz_new, LtEta_new, err, derr
+
+
+def _log_residuals(k, err):
+    print(f"[raocp_tpu] iter {int(k):>7d}  "
+          f"xi_0={float(err[0]):.3e} xi_1={float(err[1]):.3e} "
+          f"xi_2={float(err[2]):.3e}")
+
+
+@partial(jax.jit, static_argnames=("max_iters", "log_every"))
+def _run_cp(sp: StackedProblem, z0, eta0, x0, alpha1, alpha2, tol,
+            max_iters: int, log_every=None):
     """The full CP loop. Returns (z, eta, iters, final_errors, histories)."""
-    z = sp.zero_primal()
-    z = z._replace(x=z.x.at[0].set(x0))     # reference cache_initial_state
-    eta = sp.zero_dual()
-    Lz = ell(sp, z)
-    LtEta = ell_t(sp, eta)
+    Lz = ell(sp, z0)
+    LtEta = ell_t(sp, eta0)
     hist = jnp.zeros((max_iters + 1, 6), sp.dtype)
     err = jnp.full((3,), jnp.inf, sp.dtype)
 
     def body(carry):
         z, eta, Lz, LtEta, k, _, hist = carry
-        # primal: z+ = prox_f(z - a1 L'eta)
-        z_half = jax.tree_util.tree_map(lambda a, b: a - alpha1 * b, z, LtEta)
-        z_new = prox_f(sp, z_half, alpha1, x0)
-        Lz_new = ell(sp, z_new)
-        # dual: eta+ = prox_g*(eta + a2 L(2 z+ - z))
-        eta_half = jax.tree_util.tree_map(
-            lambda e, ln, lo: e + alpha2 * (2.0 * ln - lo), eta, Lz_new, Lz)
-        eta_new = prox_g_conj(sp, eta_half, alpha2)
-        LtEta_new = ell_t(sp, eta_new)
-        # residuals (reference solver.py:63-95)
-        xi1 = jax.tree_util.tree_map(
-            lambda a, b, ta, tb: (a - b) / alpha1 - (ta - tb),
-            z, z_new, LtEta, LtEta_new)
-        xi2 = jax.tree_util.tree_map(
-            lambda a, b, la, lb: (a - b) / alpha2 + (la - lb),
-            eta, eta_new, Lz_new, Lz)
-        xi0 = jax.tree_util.tree_map(lambda a, b: a + b, xi1, ell_t(sp, xi2))
-        d1 = jax.tree_util.tree_map(lambda a, b: a - b, z_new, z)
-        d2_norm_parts = jax.tree_util.tree_map(lambda a, b: a - b, eta_new, eta)
-        d0 = jax.tree_util.tree_map(
-            lambda a, ta, tb: a - (ta - tb), d1, LtEta_new, LtEta)
-        err = jnp.stack([tree_inf_norm(xi0), tree_inf_norm(xi1),
-                         tree_inf_norm(xi2)])
-        derr = jnp.stack([tree_inf_norm(d0), tree_inf_norm(d1),
-                          tree_inf_norm(d2_norm_parts)])
+        z, eta, Lz, LtEta, err, derr = cp_iteration(
+            sp, z, eta, Lz, LtEta, alpha1, alpha2, x0)
         hist = hist.at[k].set(jnp.concatenate([err, derr]))
-        return z_new, eta_new, Lz_new, LtEta_new, k + 1, err, hist
+        if log_every is not None:
+            jax.lax.cond(
+                k % log_every == 0,
+                lambda: jax.debug.callback(_log_residuals, k, err),
+                lambda: None)
+        return z, eta, Lz, LtEta, k + 1, err, hist
 
     def cond(carry):
         _, _, _, _, k, err, _ = carry
@@ -136,16 +180,18 @@ def _run_cp(sp: StackedProblem, x0, alpha1, alpha2, tol, max_iters: int):
             jnp.logical_and(jnp.max(err) > tol, k < max_iters + 1))
 
     z, eta, _, _, iters, err, hist = jax.lax.while_loop(
-        cond, body, (z, eta, Lz, LtEta, 0, err, hist))
+        cond, body, (z0, eta0, Lz, LtEta, 0, err, hist))
     return z, eta, iters, err, hist
 
 
 class Solver:
     """Builds the stacked problem + offline factorisations, then solves."""
 
-    def __init__(self, problem_spec: RAOCP, dtype=None):
+    def __init__(self, problem_spec: RAOCP, dtype=None,
+                 pad_multiple: int = 1):
         self.__spec = problem_spec
-        self.__stacked = build_stacked(problem_spec, dtype=dtype)
+        self.__stacked = build_stacked(problem_spec, dtype=dtype,
+                                       pad_multiple=pad_multiple)
         self.__result: Optional[SolverResult] = None
 
     @property
@@ -161,9 +207,26 @@ class Solver:
         return self.__result
 
     def solve(self, initial_state, max_iters: int = 10, tol: float = 1e-5,
-              alpha: Optional[float] = None) -> SolverResult:
-        """Run Chambolle-Pock from zero primal/dual with the given initial
-        state. ``alpha`` overrides the 0.999/lambda_max(L'L) step rule."""
+              alpha: Optional[float] = None, warm_start=None,
+              log_every: Optional[int] = None,
+              profile_dir: Optional[str] = None,
+              accel: Optional[str] = None,
+              accel_memory: int = 5) -> SolverResult:
+        """Run Chambolle-Pock with the given initial state.
+
+        :param alpha: overrides the 0.999/lambda_max(L'L) step rule
+        :param warm_start: optional (primal, dual) pytrees (e.g. from
+            :meth:`SolverResult.load_checkpoint`) to resume from instead of
+            the zero iterate
+        :param log_every: if set, print the residuals every k iterations
+            from inside the device loop (host callback)
+        :param profile_dir: if set, wrap the solve in a ``jax.profiler``
+            trace written to this directory
+        :param accel: ``None`` (plain CP, iteration-for-iteration identical
+            to the reference) or ``"anderson"`` (safeguarded Anderson
+            acceleration of the fixed point — see :mod:`raocp_tpu.accel`)
+        :param accel_memory: Anderson history depth
+        """
         sp = self.__stacked
         x0 = jnp.asarray(np.asarray(initial_state, dtype=np.float64).reshape(-1),
                          dtype=sp.dtype)
@@ -172,10 +235,38 @@ class Solver:
         if alpha is None:
             lam, _ = _power_iteration(sp)
             alpha = 0.999 / float(lam)
+        if warm_start is None:
+            z0 = sp.zero_primal()
+            # reference cache_initial_state (solver.py:101-102)
+            z0 = z0._replace(x=z0.x.at[0].set(x0))
+            eta0 = sp.zero_dual()
+        else:
+            z0, eta0 = warm_start
+            z0 = jax.tree_util.tree_map(
+                lambda v: jnp.asarray(v, sp.dtype), Primal(*z0))
+            eta0 = jax.tree_util.tree_map(
+                lambda v: jnp.asarray(v, sp.dtype), Dual(*eta0))
+        import contextlib
+        profiler_cm = (jax.profiler.trace(profile_dir) if profile_dir
+                       else contextlib.nullcontext())
         tic = time.perf_counter()
-        z, eta, iters, err, hist = _run_cp(
-            sp, x0, jnp.asarray(alpha, sp.dtype), jnp.asarray(alpha, sp.dtype),
-            jnp.asarray(tol, sp.dtype), max_iters)
+        with profiler_cm:
+            if accel is None:
+                z, eta, iters, err, hist = _run_cp(
+                    sp, z0, eta0, x0, jnp.asarray(alpha, sp.dtype),
+                    jnp.asarray(alpha, sp.dtype), jnp.asarray(tol, sp.dtype),
+                    max_iters, log_every)
+            elif accel == "anderson":
+                from raocp_tpu.accel import run_cp_anderson
+                z, eta, iters, _evals, err, hist3 = run_cp_anderson(
+                    sp, z0, eta0, x0, jnp.asarray(alpha, sp.dtype),
+                    jnp.asarray(tol, sp.dtype), max_iters,
+                    memory=accel_memory)
+                hist = jnp.concatenate(
+                    [hist3, jnp.zeros_like(hist3)], axis=1)
+            else:
+                raise ValueError(f"unknown accel '{accel}'")
+            jax.block_until_ready(err)
         iters = int(iters)
         err = np.asarray(err)
         toc = time.perf_counter()

@@ -4,7 +4,6 @@ with the reference's numpy implementation."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -12,4 +11,11 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# force CPU: some installs (axon plugin) ignore the JAX_PLATFORMS env var,
+# only the config flag is honoured
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+# persistent compile cache: the jitted CP loop is expensive to build on the
+# small CI CPU; cache it across test runs
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_test_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

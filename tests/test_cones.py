@@ -1,0 +1,134 @@
+"""Cone projection tests.
+
+The projection inequality <v - Pv, s - Pv> <= 0 for all s in the cone
+characterises the Euclidean projection — checked against sampled cone points
+for both the host-side classes (parity with reference tests/test_cones.py)
+and the batched device kernels in raocp_tpu.ops.cones.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raocp_tpu.core.constraints.cones import (Cartesian, NonnegativeOrthant,
+                                              Real, SecondOrderCone, Zero)
+from raocp_tpu.ops import cones as jcones
+
+RNG = np.random.default_rng(42)
+NUM_SAMPLES = 100
+DIM = 10
+
+
+def _sample_soc_points(num, dim):
+    x = RNG.standard_normal((num, dim - 1))
+    t = np.linalg.norm(x, axis=1) * (1 + RNG.random(num))
+    return np.concatenate([x, t[:, None]], axis=1)
+
+
+def _check_projection_inequality(v, proj, samples):
+    # <v - Pv, s - Pv> <= 0 for all cone points s
+    for s in samples:
+        assert np.dot(v - proj, s - proj) <= 1e-9
+
+
+def test_real_project():
+    v = RNG.standard_normal(DIM)
+    cone = Real()
+    assert (cone.project(v) == v).all()
+    assert (cone.project_onto_dual(v) == 0).all()
+
+
+def test_zero_project():
+    v = RNG.standard_normal(DIM)
+    cone = Zero()
+    assert (cone.project(v) == 0).all()
+    assert (cone.project_onto_dual(v) == v).all()
+
+
+def test_nonneg_project_inequality():
+    v = RNG.standard_normal(DIM)
+    proj = NonnegativeOrthant().project(v)
+    samples = np.abs(RNG.standard_normal((NUM_SAMPLES, DIM)))
+    _check_projection_inequality(v, proj, samples)
+
+
+def test_soc_project_inequality():
+    cone = SecondOrderCone()
+    samples = _sample_soc_points(NUM_SAMPLES, DIM)
+    for _ in range(20):
+        v = 3 * RNG.standard_normal(DIM)
+        proj = cone.project(v).reshape(-1)
+        _check_projection_inequality(v, proj, samples)
+        # projection is idempotent and lands in the cone
+        assert np.linalg.norm(proj[:-1]) <= proj[-1] + 1e-9
+
+
+def test_soc_rejects_small_vectors():
+    with pytest.raises(Exception):
+        SecondOrderCone().project(np.ones(2))
+
+
+def test_cartesian_project():
+    cone = Cartesian([NonnegativeOrthant(dimension=4), Zero(dimension=2)])
+    v = RNG.standard_normal((6, 1))
+    proj = cone.project([v])
+    assert (proj[:4] == np.maximum(v[:4], 0)).all()
+    assert (proj[4:] == 0).all()
+    dual = cone.project_onto_dual([v])
+    assert (dual[:4] == np.maximum(v[:4], 0)).all()
+    assert (dual[4:] == v[4:]).all()
+
+
+# -- batched device kernels ------------------------------------------------
+
+
+def test_batched_soc_matches_host():
+    host = SecondOrderCone()
+    v = 3 * RNG.standard_normal((200, DIM))
+    batched = np.asarray(jcones.soc_project(jnp.asarray(v)))
+    for i in range(v.shape[0]):
+        expected = host.project(v[i]).reshape(-1)
+        np.testing.assert_allclose(batched[i], expected, atol=1e-12)
+
+
+def test_batched_soc_edge_cases():
+    # origin, on-boundary, in-polar, deep-in-cone
+    v = np.array([
+        [0.0, 0.0, 0.0],
+        [1.0, 0.0, 1.0],
+        [1.0, 0.0, -2.0],
+        [0.1, 0.1, 5.0],
+    ])
+    out = np.asarray(jcones.soc_project(jnp.asarray(v)))
+    np.testing.assert_allclose(out[0], 0.0)
+    np.testing.assert_allclose(out[1], v[1])
+    np.testing.assert_allclose(out[2], 0.0)
+    np.testing.assert_allclose(out[3], v[3])
+
+
+def test_batched_nonneg_and_box():
+    v = RNG.standard_normal((50, 7))
+    np.testing.assert_allclose(np.asarray(jcones.nonneg_project(v)),
+                               np.maximum(v, 0))
+    lo, hi = -0.5 * np.ones(7), 0.25 * np.ones(7)
+    np.testing.assert_allclose(np.asarray(jcones.box_project(v, lo, hi)),
+                               np.clip(v, lo, hi))
+    # +-inf bounds = unbounded
+    lo_inf = np.full(7, -np.inf)
+    np.testing.assert_allclose(
+        np.asarray(jcones.box_project(v, lo_inf, np.full(7, np.inf))), v)
+
+
+def test_risk_dual_project_padded():
+    d_max = 3
+    Y = 2 * d_max + 1
+    zero_slot = np.zeros(Y, dtype=bool)
+    zero_slot[2 * d_max] = True
+    v = RNG.standard_normal((20, Y))
+    # pad invariant: slots beyond 2c are zero for a node with c children
+    c = 2
+    v[:, 2 * c:2 * d_max] = 0.0
+    out = np.asarray(jcones.risk_dual_project(jnp.asarray(v), zero_slot))
+    np.testing.assert_allclose(out[:, :2 * c], np.maximum(v[:, :2 * c], 0))
+    np.testing.assert_allclose(out[:, 2 * d_max], v[:, 2 * d_max])
+    np.testing.assert_allclose(out[:, 2 * c:2 * d_max], 0.0)

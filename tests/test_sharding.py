@@ -1,0 +1,109 @@
+"""Multi-device tests on the 8-virtual-device CPU mesh: the node-sharded CP
+step must produce exactly the same numbers as the single-device path (GSPMD
+inserts the collectives; the math is unchanged)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from raocp_tpu.core.stacked import build_stacked
+from raocp_tpu.models import demo_problem
+from raocp_tpu.parallel import make_mesh, shard_problem, shard_variables
+from raocp_tpu.solver import cp_iteration
+from raocp_tpu.ops.operator import ell, ell_t
+
+from util import random_dual, random_primal
+
+
+@pytest.fixture(scope="module")
+def setup():
+    problem, x0 = demo_problem()
+    sp = build_stacked(problem, pad_multiple=8)
+    mesh = make_mesh(num_devices=8)
+    sp_sharded = shard_problem(sp, mesh)
+    return sp, sp_sharded, mesh, jnp.asarray(x0, sp.dtype)
+
+
+def test_eight_devices_available():
+    assert len(jax.devices()) >= 8
+
+
+def test_sharded_operator_matches(setup):
+    sp, sp_sharded, mesh, _ = setup
+    rng = np.random.default_rng(0)
+    z = random_primal(sp, rng)
+    eta = random_dual(sp, rng)
+    ref_eta = jax.tree_util.tree_map(np.asarray, ell(sp, z))
+    ref_z = jax.tree_util.tree_map(np.asarray, ell_t(sp, eta))
+    z_sh = shard_variables(jax.tree_util.tree_map(jnp.asarray, z), mesh)
+    eta_sh = shard_variables(jax.tree_util.tree_map(jnp.asarray, eta), mesh)
+    out_eta = jax.jit(ell, static_argnums=())(sp_sharded, z_sh)
+    out_z = jax.jit(ell_t)(sp_sharded, eta_sh)
+    for a, b in zip(jax.tree_util.tree_leaves(out_eta),
+                    jax.tree_util.tree_leaves(ref_eta)):
+        np.testing.assert_allclose(np.asarray(a), b, atol=1e-12)
+    for a, b in zip(jax.tree_util.tree_leaves(out_z),
+                    jax.tree_util.tree_leaves(ref_z)):
+        np.testing.assert_allclose(np.asarray(a), b, atol=1e-12)
+
+
+def test_padding_does_not_change_results():
+    """pad_multiple=8 ghost rows stay zero and real rows match pad=1."""
+    problem, x0 = demo_problem()
+    sp1 = build_stacked(problem, pad_multiple=1)
+    sp8 = build_stacked(problem, pad_multiple=8)
+    rng = np.random.default_rng(7)
+    z1 = random_primal(sp1, rng)
+    eta1 = random_dual(sp1, rng)
+    # embed into the padded shapes
+    def embed(small, big_shape):
+        out = np.zeros(big_shape, dtype=np.asarray(small).dtype)
+        out[tuple(slice(0, s) for s in np.shape(small))] = small
+        return out
+    z8 = jax.tree_util.tree_map(
+        lambda a, b: embed(a, b.shape), z1,
+        jax.tree_util.tree_map(np.asarray, sp8.zero_primal()))
+    eta8 = jax.tree_util.tree_map(
+        lambda a, b: embed(a, b.shape), eta1,
+        jax.tree_util.tree_map(np.asarray, sp8.zero_dual()))
+
+    alpha, x0j = 0.2, jnp.asarray(x0, sp1.dtype)
+    out1 = cp_iteration(sp1, z1, eta1, ell(sp1, z1), ell_t(sp1, eta1),
+                        alpha, alpha, x0j)
+    out8 = cp_iteration(sp8, z8, eta8, ell(sp8, z8), ell_t(sp8, eta8),
+                        alpha, alpha, x0j)
+    for a1, a8 in zip(jax.tree_util.tree_leaves(out1[:4]),
+                      jax.tree_util.tree_leaves(out8[:4])):
+        a1, a8 = np.asarray(a1), np.asarray(a8)
+        real = tuple(slice(0, s) for s in a1.shape)
+        np.testing.assert_allclose(a8[real], a1, atol=1e-12)
+        # ghost rows stay exactly zero
+        if a8.shape[0] > a1.shape[0]:
+            assert np.abs(a8[a1.shape[0]:]).max() == 0
+    np.testing.assert_allclose(np.asarray(out8[4]), np.asarray(out1[4]),
+                               atol=1e-12)
+
+
+def test_sharded_cp_step_matches(setup):
+    sp, sp_sharded, mesh, x0 = setup
+    rng = np.random.default_rng(1)
+    z = jax.tree_util.tree_map(jnp.asarray, random_primal(sp, rng))
+    eta = jax.tree_util.tree_map(jnp.asarray, random_dual(sp, rng))
+    Lz = ell(sp, z)
+    LtEta = ell_t(sp, eta)
+    alpha = 0.2
+
+    ref = jax.jit(cp_iteration, static_argnums=())(
+        sp, z, eta, Lz, LtEta, alpha, alpha, x0)
+
+    z_sh = shard_variables(z, mesh)
+    eta_sh = shard_variables(eta, mesh)
+    Lz_sh = shard_variables(Lz, mesh)
+    LtEta_sh = shard_variables(LtEta, mesh)
+    out = jax.jit(cp_iteration)(
+        sp_sharded, z_sh, eta_sh, Lz_sh, LtEta_sh, alpha, alpha, x0)
+
+    for a, b in zip(jax.tree_util.tree_leaves(out),
+                    jax.tree_util.tree_leaves(ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-10)

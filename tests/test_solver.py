@@ -1,0 +1,79 @@
+"""End-to-end solver tests.
+
+The reference's end-to-end test is a stub (tests/test_solver.py:10-11); the
+de-facto oracle is its committed main.py experiment: 937 CP iterations to
+tol 1e-3 with final residuals (9.95e-4, 9.41e-4, 9.56e-4) — reproduced here
+exactly (float64). Plus convergence + feasibility checks on a second family.
+"""
+
+import numpy as np
+import pytest
+
+from raocp_tpu import Solver
+from raocp_tpu.models import demo_problem, lqr_binary_problem
+
+
+@pytest.fixture(scope="module")
+def demo_result():
+    problem, x0 = demo_problem()
+    solver = Solver(problem)
+    result = solver.solve(x0, max_iters=2000, tol=1e-3)
+    return problem, solver, result
+
+
+def test_reference_iteration_parity(demo_result):
+    """The strongest oracle: same math => same iterate sequence => same
+    iteration count and final residuals as the reference experiment
+    (reference 4-3-residuals.tex:965,1906,2847)."""
+    _, _, result = demo_result
+    assert result.status == 0 and result.converged
+    assert result.num_iters == 937
+    np.testing.assert_allclose(
+        result.xi, [9.9508e-4, 9.4106e-4, 9.5599e-4], rtol=1e-3)
+
+
+def test_residual_history_monotone_tail(demo_result):
+    _, _, result = demo_result
+    hist = result.xi_history
+    assert hist.shape == (937, 3)
+    assert hist[0, 0] == pytest.approx(2.143, rel=1e-2)  # reference k=0 value
+    # residuals decrease over the run (loosely: final < initial / 100)
+    assert hist[-1].max() < hist[0].max() / 100
+
+
+def test_solution_feasibility(demo_result):
+    problem, _, result = demo_result
+    tree = problem.tree
+    x = result.primal.x
+    u = result.primal.u
+    # dynamics hold exactly (the prox ends with a forward rollout)
+    for j in range(1, tree.num_nodes):
+        i = tree.ancestor_of(j)
+        np.testing.assert_allclose(
+            x[j], problem.state_dynamics_at_node(j) @ x[i]
+            + problem.control_dynamics_at_node(j) @ u[i], atol=1e-8)
+    # box constraints hold up to the residual tolerance
+    assert u.max() <= 0.1 + 1e-3 and u.min() >= -0.1 - 1e-3
+    assert abs(x).max() <= 7 + 1e-3
+
+
+def test_not_converged_status():
+    problem, x0 = demo_problem()
+    result = Solver(problem).solve(x0, max_iters=5, tol=1e-3)
+    assert result.status == 1 and not result.converged
+    assert result.num_iters == 6  # reference loop runs max_iters+1 bodies
+
+
+def test_lqr_binary_converges():
+    problem, x0 = lqr_binary_problem()
+    result = Solver(problem).solve(x0, max_iters=5000, tol=1e-4)
+    assert result.converged
+    assert result.xi.max() <= 1e-4
+
+
+def test_chock_parity_api():
+    problem, x0 = lqr_binary_problem()
+    solver = Solver(problem)
+    status = solver.chock(initial_state=x0, max_iters=5000, tol=1e-4)
+    assert status == 0
+    assert solver.result.converged

@@ -1,0 +1,114 @@
+"""Tests for the stacked problem builder and the offline phase.
+
+The stage-batched Riccati factorisation is cross-checked against a per-node
+numpy oracle that follows the reference recursion exactly
+(cache.py:207-233); the kernel projectors are checked for the algebraic
+projector properties and against scipy null-space bases.
+"""
+
+import numpy as np
+import pytest
+import scipy.linalg
+
+from raocp_tpu.core.stacked import build_stacked
+from raocp_tpu.models import demo_problem, mass_spring_problem, \
+    random_network_problem
+
+from util import riccati_oracle
+
+
+@pytest.fixture(scope="module", params=["demo", "spring", "network"])
+def spec_and_sp(request):
+    problem = {
+        "demo": lambda: demo_problem(),
+        "spring": lambda: mass_spring_problem(num_masses=3, num_stages=5),
+        "network": lambda: random_network_problem(
+            num_states=6, num_inputs=3, num_modes=3, num_stages=5,
+            stopping_time=3),
+    }[request.param]()[0]
+    return problem, build_stacked(problem)
+
+
+def test_riccati_matches_oracle(spec_and_sp):
+    spec, sp = spec_and_sp
+    P_ref, K_ref, Abar_ref = riccati_oracle(spec)
+    P = np.asarray(sp.P)
+    K = np.asarray(sp.K)
+    Abar = np.asarray(sp.Abar)
+    for i in range(sp.num_nodes):
+        np.testing.assert_allclose(P[i], P_ref[i], atol=1e-9)
+    for i in range(sp.num_nonleaf):
+        np.testing.assert_allclose(K[i], K_ref[i], atol=1e-9)
+    for j in range(1, sp.num_nodes):
+        np.testing.assert_allclose(Abar[j], Abar_ref[j], atol=1e-9)
+
+
+def test_rinv_and_sumapb(spec_and_sp):
+    spec, sp = spec_and_sp
+    tree = spec.tree
+    P = np.asarray(sp.P)
+    Rinv = np.asarray(sp.Rinv)
+    Abar = np.asarray(sp.Abar)
+    sumAPB = np.asarray(sp.sumAPB)
+    m = sp.m
+    for i in range(sp.num_nonleaf):
+        children = tree.children_of(i)
+        r_tilde = np.eye(m) + sum(
+            spec.control_dynamics_at_node(j).T @ P[j]
+            @ spec.control_dynamics_at_node(j) for j in children)
+        np.testing.assert_allclose(Rinv[i] @ r_tilde, np.eye(m), atol=1e-9)
+        expected = sum(Abar[j].T @ P[j] @ spec.control_dynamics_at_node(j)
+                       for j in children)
+        np.testing.assert_allclose(sumAPB[i], expected, atol=1e-9)
+
+
+def test_kernel_projector_properties(spec_and_sp):
+    spec, sp = spec_and_sp
+    tree = spec.tree
+    Pi = np.asarray(sp.Pi)
+    d = sp.d_max
+    Y = sp.Y
+    for i in range(sp.num_nonleaf):
+        # symmetric and idempotent
+        np.testing.assert_allclose(Pi[i], Pi[i].T, atol=1e-10)
+        np.testing.assert_allclose(Pi[i] @ Pi[i], Pi[i], atol=1e-10)
+        # annihilates the kernel constraint in the padded layout
+        risk = spec.risk_at_node(i)
+        c = len(tree.children_of(i))
+        eye = np.eye(c)
+        zeros = np.zeros((risk.matrix_f.shape[1], c))
+        M = np.vstack((np.hstack((risk.matrix_e.T, -eye, -eye)),
+                       np.hstack((risk.matrix_f.T, zeros, zeros))))
+        emb = np.concatenate((np.arange(2 * c), [2 * d],
+                              Y + np.arange(c), Y + d + np.arange(c)))
+        M_pad = np.zeros((M.shape[0], sp.D))
+        M_pad[:, emb] = M
+        assert np.abs(M_pad @ Pi[i]).max() < 1e-9
+        # rank equals null-space dimension
+        ns = scipy.linalg.null_space(M)
+        assert round(np.trace(Pi[i])) == ns.shape[1]
+        # padded rows/cols are zero
+        pad = np.ones(sp.D, dtype=bool)
+        pad[emb] = False
+        assert np.abs(Pi[i][pad]).max(initial=0) == 0
+        assert np.abs(Pi[i][:, pad]).max(initial=0) == 0
+
+
+def test_stacked_layouts(spec_and_sp):
+    spec, sp = spec_and_sp
+    tree = spec.tree
+    b_pad = np.asarray(sp.b_pad)
+    y_mask = np.asarray(sp.y_mask)
+    for i in range(sp.num_nonleaf):
+        c = len(tree.children_of(i))
+        b = spec.risk_at_node(i).vector_b.reshape(-1)
+        np.testing.assert_allclose(b_pad[i, :2 * c], b[:2 * c])
+        assert b_pad[i, 2 * sp.d_max] == b[2 * c]
+        assert y_mask[i].sum() == 2 * c + 1
+    # dynamics stacked correctly
+    A = np.asarray(sp.A)
+    B = np.asarray(sp.B)
+    for j in range(1, sp.num_nodes):
+        np.testing.assert_allclose(A[j], spec.state_dynamics_at_node(j))
+        np.testing.assert_allclose(B[j], spec.control_dynamics_at_node(j))
+    assert (A[0] == 0).all() and (B[0] == 0).all()
