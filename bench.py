@@ -21,9 +21,21 @@ import time
 BENCH_ITERS = 200
 
 
+def _enable_compile_cache() -> None:
+    """Persistent XLA compile cache: first compile of the CP loop through a
+    tunnelled TPU backend is minutes; later runs (and the driver's bench
+    invocation) hit the cache."""
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_raocp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
 def main() -> None:
     import jax
     import jax.numpy as jnp
+
+    _enable_compile_cache()
 
     from raocp_tpu.models import random_network_problem
     from raocp_tpu.solver import Solver, _power_iteration, _run_cp
@@ -38,13 +50,17 @@ def main() -> None:
     alpha = jnp.asarray(0.999 / float(lam), sp.dtype)
     x0j = jnp.asarray(x0, sp.dtype)
     tol0 = jnp.asarray(0.0, sp.dtype)   # tol 0 => exactly BENCH_ITERS+1 steps
+    import numpy as np
+    z0 = sp.zero_primal(xp=np)
+    z0.x[0] = np.asarray(x0, dtype=z0.x.dtype)
+    eta0 = sp.zero_dual(xp=np)
 
     # compile + warm-up
-    out = _run_cp(sp, x0j, alpha, alpha, tol0, BENCH_ITERS)
+    out = _run_cp(sp, z0, eta0, x0j, alpha, alpha, tol0, BENCH_ITERS)
     jax.block_until_ready(out)
 
     tic = time.perf_counter()
-    out = _run_cp(sp, x0j, alpha, alpha, tol0, BENCH_ITERS)
+    out = _run_cp(sp, z0, eta0, x0j, alpha, alpha, tol0, BENCH_ITERS)
     jax.block_until_ready(out)
     toc = time.perf_counter()
 

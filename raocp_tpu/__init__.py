@@ -27,6 +27,7 @@ from raocp_tpu.core.constraints import (
 )
 from raocp_tpu.core.spec import RAOCP
 from raocp_tpu.solver import Solver, SolverResult
+from raocp_tpu.mpc import ClosedLoopResult, RiskAverseMPC
 
 __version__ = "0.1.0"
 
@@ -50,4 +51,6 @@ __all__ = [
     "RAOCP",
     "Solver",
     "SolverResult",
+    "RiskAverseMPC",
+    "ClosedLoopResult",
 ]

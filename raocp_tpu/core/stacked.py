@@ -103,30 +103,34 @@ class StackedProblem:
     def dtype(self):
         return self.A.dtype
 
-    def zero_primal(self) -> Primal:
+    def zero_primal(self, xp=jnp) -> Primal:
+        """Zero primal pytree. ``xp=numpy`` builds host arrays — use it
+        outside jit so cold-start setup costs no eager device dispatches
+        (slow on a tunnelled TPU backend)."""
         dt = self.dtype
         return Primal(
-            x=jnp.zeros((self.np_pad, self.n), dt),
-            u=jnp.zeros((self.nl_pad, self.m), dt),
-            y=jnp.zeros((self.nl_pad, self.Y), dt),
-            tau=jnp.zeros((self.np_pad,), dt),
-            s=jnp.zeros((self.np_pad,), dt),
+            x=xp.zeros((self.np_pad, self.n), dt),
+            u=xp.zeros((self.nl_pad, self.m), dt),
+            y=xp.zeros((self.nl_pad, self.Y), dt),
+            tau=xp.zeros((self.np_pad,), dt),
+            s=xp.zeros((self.np_pad,), dt),
         )
 
-    def zero_dual(self) -> Dual:
+    def zero_dual(self, xp=jnp) -> Dual:
+        """Zero dual pytree (``xp`` as in :meth:`zero_primal`)."""
         dt = self.dtype
         return Dual(
-            e1=jnp.zeros((self.nl_pad, self.Y), dt),
-            e2=jnp.zeros((self.nl_pad,), dt),
-            e3=jnp.zeros((self.np_pad, self.n), dt),
-            e4=jnp.zeros((self.np_pad, self.m), dt),
-            e5=jnp.zeros((self.np_pad,), dt),
-            e6=jnp.zeros((self.np_pad,), dt),
-            e7=jnp.zeros((self.nl_pad, self.n + self.m), dt),
-            e11=jnp.zeros((self.lf_pad, self.n), dt),
-            e12=jnp.zeros((self.lf_pad,), dt),
-            e13=jnp.zeros((self.lf_pad,), dt),
-            e14=jnp.zeros((self.lf_pad, self.n), dt),
+            e1=xp.zeros((self.nl_pad, self.Y), dt),
+            e2=xp.zeros((self.nl_pad,), dt),
+            e3=xp.zeros((self.np_pad, self.n), dt),
+            e4=xp.zeros((self.np_pad, self.m), dt),
+            e5=xp.zeros((self.np_pad,), dt),
+            e6=xp.zeros((self.np_pad,), dt),
+            e7=xp.zeros((self.nl_pad, self.n + self.m), dt),
+            e11=xp.zeros((self.lf_pad, self.n), dt),
+            e12=xp.zeros((self.lf_pad,), dt),
+            e13=xp.zeros((self.lf_pad,), dt),
+            e14=xp.zeros((self.lf_pad, self.n), dt),
         )
 
 

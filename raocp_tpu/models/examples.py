@@ -19,18 +19,22 @@ from raocp_tpu.core.spec import RAOCP
 from raocp_tpu.core.tree import MarkovChainScenarioTreeFactory
 
 __all__ = ["demo_problem", "lqr_binary_problem", "mass_spring_problem",
-           "random_network_problem"]
+           "random_network_problem", "demo_mpc_controller",
+           "network_mpc_controller"]
 
 
-def demo_problem(num_stages: int = 4, stopping_time: int = 3):
+def demo_problem(num_stages: int = 4, stopping_time: int = 3,
+                 initial_distribution=None):
     """The reference main.py configuration (32-node tree at defaults).
 
-    Returns (problem, initial_state).
+    Returns (problem, initial_state). ``initial_distribution`` overrides the
+    root mode distribution (used by the closed-loop MPC factory).
     """
     p = np.array([[0.1, 0.8, 0.1],
                   [0.4, 0.6, 0.0],
                   [0.0, 0.3, 0.7]])
-    v = np.array([0.1, 0.6, 0.3])
+    v = (np.array([0.1, 0.6, 0.3]) if initial_distribution is None
+         else np.asarray(initial_distribution, dtype=float))
     tree = MarkovChainScenarioTreeFactory(p, v, num_stages,
                                           stopping_time).create()
 
@@ -138,14 +142,21 @@ def mass_spring_problem(num_masses: int = 5, num_stages: int = 6,
 def random_network_problem(num_states: int = 20, num_inputs: int = 8,
                            num_modes: int = 3, num_stages: int = 7,
                            stopping_time: int = 3, alpha: float = 0.95,
-                           seed: int = 0, spectral_radius: float = 0.9):
+                           seed: int = 0, spectral_radius: float = 0.9,
+                           initial_distribution=None):
     """Random stable networked system; tree size controlled by
-    (num_modes, num_stages, stopping_time) — BASELINE configs 3-5."""
+    (num_modes, num_stages, stopping_time) — BASELINE configs 3-5.
+
+    ``initial_distribution`` overrides the sampled root mode distribution
+    while keeping every other draw (dynamics, costs) identical for the same
+    seed — calls with different distributions describe the same plant."""
     rng = np.random.default_rng(seed)
     p = rng.random((num_modes, num_modes)) + 0.1
     p /= p.sum(axis=1, keepdims=True)
     v = rng.random(num_modes) + 0.1
     v /= v.sum()
+    if initial_distribution is not None:
+        v = np.asarray(initial_distribution, dtype=float)
     tree = MarkovChainScenarioTreeFactory(p, v, num_stages,
                                           stopping_time).create()
     nl, lf = Nonleaf(), Leaf()
@@ -170,3 +181,52 @@ def random_network_problem(num_states: int = 20, num_inputs: int = 8,
                    Rectangle(lf, np.full(num_states, -10.0),
                              np.full(num_states, 10.0))))
     return problem, 0.5 * rng.standard_normal(num_states)
+
+
+def demo_mpc_controller(dtype=None, num_stages: int = 4,
+                        stopping_time: int = 3):
+    """Closed-loop risk-averse MPC on the reference demo plant
+    (BASELINE config 5 shape at small scale).
+
+    Returns (controller, initial_state); run with
+    ``controller.run(x0, num_steps)``."""
+    from raocp_tpu.mpc import RiskAverseMPC
+
+    p = np.array([[0.1, 0.8, 0.1],
+                  [0.4, 0.6, 0.0],
+                  [0.0, 0.3, 0.7]])
+
+    def factory(v):
+        problem, _ = demo_problem(num_stages=num_stages,
+                                  stopping_time=stopping_time,
+                                  initial_distribution=v)
+        return problem
+
+    return RiskAverseMPC(factory, p, dtype=dtype), np.array([5.0, -6.0, -1.0])
+
+
+def network_mpc_controller(num_states: int = 20, num_inputs: int = 8,
+                           num_modes: int = 3, num_stages: int = 7,
+                           stopping_time: int = 3, alpha: float = 0.95,
+                           seed: int = 0, dtype=None):
+    """Closed-loop MPC on the random-network plant at any scale
+    (full BASELINE config 5 when called with num_states=100 and a tree in
+    the 10^5-node range). Returns (controller, initial_state)."""
+    from raocp_tpu.mpc import RiskAverseMPC
+
+    rng = np.random.default_rng(seed)
+    p = rng.random((num_modes, num_modes)) + 0.1
+    p /= p.sum(axis=1, keepdims=True)
+
+    def factory(v):
+        problem, _ = random_network_problem(
+            num_states=num_states, num_inputs=num_inputs,
+            num_modes=num_modes, num_stages=num_stages,
+            stopping_time=stopping_time, alpha=alpha, seed=seed,
+            initial_distribution=v)
+        return problem
+
+    _, x0 = random_network_problem(
+        num_states=num_states, num_inputs=num_inputs, num_modes=num_modes,
+        num_stages=2, stopping_time=1, seed=seed)
+    return RiskAverseMPC(factory, p, dtype=dtype), x0

@@ -228,18 +228,20 @@ class Solver:
         :param accel_memory: Anderson history depth
         """
         sp = self.__stacked
-        x0 = jnp.asarray(np.asarray(initial_state, dtype=np.float64).reshape(-1),
-                         dtype=sp.dtype)
+        x0_np = np.asarray(initial_state, dtype=np.float64).reshape(-1)
+        x0 = jnp.asarray(x0_np, dtype=sp.dtype)
         if x0.shape != (sp.n,):
             raise ValueError(f"initial state must have {sp.n} entries")
         if alpha is None:
             lam, _ = _power_iteration(sp)
             alpha = 0.999 / float(lam)
         if warm_start is None:
-            z0 = sp.zero_primal()
+            # host-side cold start (no eager device dispatch); the jitted
+            # loop transfers the zeros once at call time
+            z0 = sp.zero_primal(xp=np)
             # reference cache_initial_state (solver.py:101-102)
-            z0 = z0._replace(x=z0.x.at[0].set(x0))
-            eta0 = sp.zero_dual()
+            z0.x[0] = x0_np.astype(z0.x.dtype)
+            eta0 = sp.zero_dual(xp=np)
         else:
             z0, eta0 = warm_start
             z0 = jax.tree_util.tree_map(
