@@ -16,6 +16,7 @@ from raocp_tpu.core.dynamics import Dynamics
 from raocp_tpu.core.costs import Quadratic
 from raocp_tpu.core.risks import AVaR
 from raocp_tpu.core.constraints import (
+    Ball,
     Constraint,
     No,
     Rectangle,
@@ -41,6 +42,7 @@ __all__ = [
     "Quadratic",
     "AVaR",
     "Constraint",
+    "Ball",
     "No",
     "Rectangle",
     "Real",

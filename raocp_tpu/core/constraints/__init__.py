@@ -1,4 +1,5 @@
 from raocp_tpu.core.constraints.base import Constraint
+from raocp_tpu.core.constraints.ball import Ball
 from raocp_tpu.core.constraints.no_constraint import No
 from raocp_tpu.core.constraints.rectangle import Rectangle
 from raocp_tpu.core.constraints.cones import (
@@ -11,6 +12,7 @@ from raocp_tpu.core.constraints.cones import (
 
 __all__ = [
     "Constraint",
+    "Ball",
     "No",
     "Rectangle",
     "Real",

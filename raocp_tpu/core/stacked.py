@@ -77,9 +77,13 @@ class StackedProblem:
     nl_lo: jax.Array        # [num_nonleaf, n+m] box lower bound (-inf where free)
     nl_hi: jax.Array        # [num_nonleaf, n+m]
     nl_active: jax.Array    # [num_nonleaf] 1.0 where the constraint is active
+    nl_ball_c: jax.Array    # [num_nonleaf, n+m] Ball centers (0 where not Ball)
+    nl_ball_r: jax.Array    # [num_nonleaf] Ball radii (+inf where not Ball)
     l_lo: jax.Array         # [num_leaf, n]
     l_hi: jax.Array         # [num_leaf, n]
     l_active: jax.Array     # [num_leaf]
+    l_ball_c: jax.Array     # [num_leaf, n]
+    l_ball_r: jax.Array     # [num_leaf]
 
     # -- offline factorisations --------------------------------------------------
     P: jax.Array            # [num_nodes, n, n] Riccati-like matrices
@@ -287,25 +291,39 @@ def build_stacked(spec: RAOCP, dtype=None,
     zero_slot = np.zeros(Y, dtype=bool)
     zero_slot[2 * d] = True
 
-    # box constraints
+    # constraint sets: boxes (Rectangle) and Euclidean balls (Ball)
+    from raocp_tpu.core.constraints.ball import Ball
+
     nl_lo = np.full((NL, n + m), -np.inf)
     nl_hi = np.full((NL, n + m), np.inf)
     nl_active = np.zeros(NL)
+    nl_ball_c = np.zeros((NL, n + m))
+    nl_ball_r = np.full(NL, np.inf)
     for i in range(NL):
         con = spec.nonleaf_constraint_at_node(i)
         if con.is_active:
             nl_active[i] = 1.0
-            nl_lo[i] = con.min
-            nl_hi[i] = con.max
+            if isinstance(con, Ball):
+                nl_ball_c[i] = con.center_for_size(n + m)
+                nl_ball_r[i] = con.radius
+            else:
+                nl_lo[i] = con.min
+                nl_hi[i] = con.max
     l_lo = np.full((LF, n), -np.inf)
     l_hi = np.full((LF, n), np.inf)
     l_active = np.zeros(LF)
+    l_ball_c = np.zeros((LF, n))
+    l_ball_r = np.full(LF, np.inf)
     for i in range(NL, N):
         con = spec.leaf_constraint_at_node(i)
         if con.is_active:
             l_active[i - NL] = 1.0
-            l_lo[i - NL] = con.min
-            l_hi[i - NL] = con.max
+            if isinstance(con, Ball):
+                l_ball_c[i - NL] = con.center_for_size(n)
+                l_ball_r[i - NL] = con.radius
+            else:
+                l_lo[i - NL] = con.min
+                l_hi[i - NL] = con.max
 
     anc = tree.ancestors.copy()
     anc[0] = 0
@@ -334,9 +352,13 @@ def build_stacked(spec: RAOCP, dtype=None,
         nl_lo=dev(_pad0(nl_lo, NLP, -np.inf)),
         nl_hi=dev(_pad0(nl_hi, NLP, np.inf)),
         nl_active=dev(_pad0(nl_active, NLP)),
+        nl_ball_c=dev(_pad0(nl_ball_c, NLP)),
+        nl_ball_r=dev(_pad0(nl_ball_r, NLP, np.inf)),
         l_lo=dev(_pad0(l_lo, LFP, -np.inf)),
         l_hi=dev(_pad0(l_hi, LFP, np.inf)),
         l_active=dev(_pad0(l_active, LFP)),
+        l_ball_c=dev(_pad0(l_ball_c, LFP)),
+        l_ball_r=dev(_pad0(l_ball_r, LFP, np.inf)),
         P=dev(_pad0(P, NP_)), Rinv=dev(_pad0(Rinv, NLP)),
         K=dev(_pad0(K, NLP)), Abar=dev(_pad0(Abar, NP_)),
         sumAPB=dev(_pad0(sumAPB, NLP)), Pi=dev(_pad0(Pi, NLP)),

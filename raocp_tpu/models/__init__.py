@@ -5,6 +5,7 @@ from raocp_tpu.models.examples import (
     mass_spring_problem,
     network_mpc_controller,
     random_network_problem,
+    soc_network_problem,
 )
 
 __all__ = [
@@ -14,4 +15,5 @@ __all__ = [
     "mass_spring_problem",
     "network_mpc_controller",
     "random_network_problem",
+    "soc_network_problem",
 ]

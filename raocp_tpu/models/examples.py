@@ -10,6 +10,7 @@ random networks of arbitrary size).
 
 import numpy as np
 
+from raocp_tpu.core.constraints.ball import Ball
 from raocp_tpu.core.constraints.rectangle import Rectangle
 from raocp_tpu.core.costs import Quadratic
 from raocp_tpu.core.dynamics import Dynamics
@@ -19,8 +20,8 @@ from raocp_tpu.core.spec import RAOCP
 from raocp_tpu.core.tree import MarkovChainScenarioTreeFactory
 
 __all__ = ["demo_problem", "lqr_binary_problem", "mass_spring_problem",
-           "random_network_problem", "demo_mpc_controller",
-           "network_mpc_controller"]
+           "random_network_problem", "soc_network_problem",
+           "demo_mpc_controller", "network_mpc_controller"]
 
 
 def demo_problem(num_stages: int = 4, stopping_time: int = 3,
@@ -143,13 +144,16 @@ def random_network_problem(num_states: int = 20, num_inputs: int = 8,
                            num_modes: int = 3, num_stages: int = 7,
                            stopping_time: int = 3, alpha: float = 0.95,
                            seed: int = 0, spectral_radius: float = 0.9,
-                           initial_distribution=None):
+                           initial_distribution=None,
+                           constraint: str = "box"):
     """Random stable networked system; tree size controlled by
     (num_modes, num_stages, stopping_time) — BASELINE configs 3-5.
 
     ``initial_distribution`` overrides the sampled root mode distribution
     while keeping every other draw (dynamics, costs) identical for the same
-    seed — calls with different distributions describe the same plant."""
+    seed — calls with different distributions describe the same plant.
+    ``constraint`` is "box" (rectangles, default) or "ball" (Euclidean-norm
+    state-input balls — the SOC constraints of BASELINE config 3)."""
     rng = np.random.default_rng(seed)
     p = rng.random((num_modes, num_modes)) + 0.1
     p /= p.sum(axis=1, keepdims=True)
@@ -168,18 +172,24 @@ def random_network_problem(num_states: int = 20, num_inputs: int = 8,
         dynamics.append(Dynamics(A, B))
     costs = [Quadratic(nl, np.eye(num_states), 0.1 * np.eye(num_inputs))
              for _ in range(num_modes)]
-    nl_min = np.concatenate((np.full(num_states, -10.0),
-                             np.full(num_inputs, -1.0)))
-    nl_max = -nl_min
+    if constraint == "ball":
+        nl_con = Ball(nl, radius=10.0)
+        lf_con = Ball(lf, radius=10.0)
+    elif constraint == "box":
+        nl_min = np.concatenate((np.full(num_states, -10.0),
+                                 np.full(num_inputs, -1.0)))
+        nl_con = Rectangle(nl, nl_min, -nl_min)
+        lf_con = Rectangle(lf, np.full(num_states, -10.0),
+                           np.full(num_states, 10.0))
+    else:
+        raise ValueError(f"unknown constraint kind '{constraint}'")
     problem = (RAOCP(scenario_tree=tree)
                .with_markovian_dynamics(dynamics)
                .with_markovian_nonleaf_costs(costs)
                .with_all_leaf_costs(Quadratic(lf, np.eye(num_states)))
                .with_all_risks(AVaR(alpha))
-               .with_all_nonleaf_constraints(Rectangle(nl, nl_min, nl_max))
-               .with_all_leaf_constraints(
-                   Rectangle(lf, np.full(num_states, -10.0),
-                             np.full(num_states, 10.0))))
+               .with_all_nonleaf_constraints(nl_con)
+               .with_all_leaf_constraints(lf_con))
     return problem, 0.5 * rng.standard_normal(num_states)
 
 
@@ -230,3 +240,15 @@ def network_mpc_controller(num_states: int = 20, num_inputs: int = 8,
         num_states=num_states, num_inputs=num_inputs, num_modes=num_modes,
         num_stages=2, stopping_time=1, seed=seed)
     return RiskAverseMPC(factory, p, dtype=dtype), x0
+
+
+def soc_network_problem(num_states: int = 20, num_inputs: int = 8,
+                        num_modes: int = 3, num_stages: int = 7,
+                        stopping_time: int = 3, alpha: float = 0.95,
+                        seed: int = 0):
+    """BASELINE config 3: 20-state system, branching-3 tree, horizon 7
+    (~3k nodes), Euclidean-ball (SOC) state-input constraints + AVaR."""
+    return random_network_problem(
+        num_states=num_states, num_inputs=num_inputs, num_modes=num_modes,
+        num_stages=num_stages, stopping_time=stopping_time, alpha=alpha,
+        seed=seed, constraint="ball")

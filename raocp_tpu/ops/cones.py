@@ -10,13 +10,35 @@ All are safe under padding: zero inputs map to zero outputs.
 
 import jax.numpy as jnp
 
-__all__ = ["nonneg_project", "box_project", "soc_project",
-           "soc_project_parts", "risk_dual_project"]
+__all__ = ["nonneg_project", "box_project", "ball_project",
+           "constraint_project", "soc_project", "soc_project_parts",
+           "risk_dual_project"]
 
 
 def nonneg_project(v):
     """Projection onto R^n_+ (self-dual)."""
     return jnp.maximum(v, 0)
+
+
+def ball_project(v, c, r):
+    """Projection onto the Euclidean ball ||v - c|| <= r over the last axis.
+
+    ``r = +inf`` rows are the identity (inactive), and the zero-vector /
+    zero-padding rows stay zero — both via selects, no NaNs."""
+    dv = v - c
+    norm = jnp.sqrt(jnp.sum(dv * dv, axis=-1))
+    scale = jnp.where(norm > r, r / jnp.where(norm > 0, norm, 1.0), 1.0)
+    return c + dv * scale[..., None]
+
+
+def constraint_project(v, lo, hi, c, r):
+    """Per-node constraint-set projection: rows with finite ``r`` are
+    Euclidean balls (``Ball``), the rest boxes (``Rectangle``; +-inf bounds =
+    unconstrained/identity). One fused batched select — no per-node
+    control flow."""
+    return jnp.where(jnp.isfinite(r)[..., None],
+                     ball_project(v, c, r),
+                     box_project(v, lo, hi))
 
 
 def box_project(v, lo, hi):

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from raocp_tpu.core.stacked import StackedProblem
 from raocp_tpu.core.variables import Primal, Dual
-from raocp_tpu.ops.cones import (box_project, nonneg_project,
+from raocp_tpu.ops.cones import (constraint_project, nonneg_project,
                                  risk_dual_project, soc_project_parts)
 
 __all__ = ["prox_f", "prox_g_conj", "project_dynamics", "project_kernel"]
@@ -133,11 +133,13 @@ def prox_g_conj(sp: StackedProblem, eta: Dual, alpha) -> Dual:
     soc_head = jnp.concatenate([mod.e3, mod.e4, mod.e5[:, None]], axis=1)
     px, pt = soc_project_parts(soc_head, mod.e6)
     p3, p4, p5, p6 = px[:, :n], px[:, n:n + m], px[:, -1], pt
-    p7 = box_project(mod.e7, sp.nl_lo, sp.nl_hi)
+    p7 = constraint_project(mod.e7, sp.nl_lo, sp.nl_hi,
+                            sp.nl_ball_c, sp.nl_ball_r)
     leaf_head = jnp.concatenate([mod.e11, mod.e12[:, None]], axis=1)
     plx, plt = soc_project_parts(leaf_head, mod.e13)
     p11, p12, p13 = plx[:, :n], plx[:, -1], plt
-    p14 = box_project(mod.e14, sp.l_lo, sp.l_hi)
+    p14 = constraint_project(mod.e14, sp.l_lo, sp.l_hi,
+                             sp.l_ball_c, sp.l_ball_r)
     proj = Dual(e1=p1, e2=p2, e3=p3, e4=p4, e5=p5, e6=p6, e7=p7,
                 e11=p11, e12=p12, e13=p13, e14=p14)
 

@@ -132,3 +132,72 @@ def test_risk_dual_project_padded():
     np.testing.assert_allclose(out[:, :2 * c], np.maximum(v[:, :2 * c], 0))
     np.testing.assert_allclose(out[:, 2 * d_max], v[:, 2 * d_max])
     np.testing.assert_allclose(out[:, 2 * c:2 * d_max], 0.0)
+
+
+def test_ball_project_properties():
+    """Projection onto ||v - c|| <= r: inside-identity, surface mapping, and
+    the variational inequality <v - Pv, s - Pv> <= 0 for feasible s."""
+    from raocp_tpu.ops.cones import ball_project
+
+    r = 2.0
+    c = np.array([1.0, -1.0, 0.5])
+    v = RNG.standard_normal((100, 3)) * 3.0 + c
+    out = np.asarray(ball_project(jnp.asarray(v), jnp.asarray(c), r))
+    norms = np.linalg.norm(v - c, axis=1)
+    # inside stays put, outside lands on the surface
+    inside = norms <= r
+    np.testing.assert_allclose(out[inside], v[inside])
+    np.testing.assert_allclose(np.linalg.norm(out[~inside] - c, axis=1), r,
+                               atol=1e-12)
+    # variational inequality against 100 sampled feasible points
+    for _ in range(100):
+        s = c + RNG.standard_normal(3) * 0.5
+        if np.linalg.norm(s - c) > r:
+            s = c + (s - c) * r / np.linalg.norm(s - c)
+        gap = np.einsum("ij,ij->i", v - out, s[None, :] - out)
+        assert np.all(gap <= 1e-10)
+
+
+def test_ball_project_inf_radius_identity_and_zero_rows():
+    from raocp_tpu.ops.cones import ball_project
+
+    v = RNG.standard_normal((10, 4))
+    v[3] = 0.0
+    out = np.asarray(ball_project(jnp.asarray(v), jnp.zeros(4), jnp.inf))
+    np.testing.assert_allclose(out, v)
+    # zero rows stay exactly zero even with finite radius (pad invariant)
+    out2 = np.asarray(ball_project(jnp.asarray(v), jnp.zeros(4), 0.5))
+    np.testing.assert_allclose(out2[3], 0.0)
+
+
+def test_constraint_project_dispatch():
+    """Rows with finite radius use the ball, others the box."""
+    from raocp_tpu.ops.cones import constraint_project
+
+    v = RNG.standard_normal((6, 3)) * 5
+    lo, hi = -np.ones((6, 3)), np.ones((6, 3))
+    c = np.zeros((6, 3))
+    r = np.array([np.inf, np.inf, 1.0, 1.0, np.inf, 2.0])
+    out = np.asarray(constraint_project(
+        jnp.asarray(v), jnp.asarray(lo), jnp.asarray(hi),
+        jnp.asarray(c), jnp.asarray(r)))
+    for i in range(6):
+        if np.isfinite(r[i]):
+            nv = np.linalg.norm(v[i])
+            exp = v[i] if nv <= r[i] else v[i] * r[i] / nv
+        else:
+            exp = np.clip(v[i], lo[i], hi[i])
+        np.testing.assert_allclose(out[i], exp, atol=1e-12)
+
+
+def test_ball_class_host_projection():
+    from raocp_tpu.core.constraints.ball import Ball
+    from raocp_tpu.core.nodes import Nonleaf
+
+    ball = Ball(Nonleaf(), radius=1.5, center=[1.0, 0.0])
+    inside = np.array([1.2, 0.3])
+    np.testing.assert_allclose(ball.project(inside), inside)
+    far = np.array([5.0, 0.0])
+    np.testing.assert_allclose(ball.project(far), [2.5, 0.0])
+    with pytest.raises(Exception):
+        Ball(Nonleaf(), radius=0.0)

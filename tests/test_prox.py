@@ -17,7 +17,7 @@ import pytest
 from raocp_tpu.core.stacked import build_stacked
 from raocp_tpu.core.variables import Dual
 from raocp_tpu.models import demo_problem, lqr_binary_problem, \
-    random_network_problem
+    random_network_problem, soc_network_problem
 from raocp_tpu.ops.prox import (project_dynamics, project_kernel, prox_f,
                                 prox_g_conj)
 from raocp_tpu.core.constraints.cones import SecondOrderCone
@@ -26,12 +26,15 @@ from util import (dynamics_projection_oracle, kernel_projection_oracle,
                   random_dual, random_primal)
 
 
-@pytest.fixture(scope="module", params=["demo", "lqr", "network"])
+@pytest.fixture(scope="module", params=["demo", "lqr", "network", "socnet"])
 def spec_and_sp(request):
     problem = {
         "demo": lambda: demo_problem(),
         "lqr": lambda: lqr_binary_problem(),
         "network": lambda: random_network_problem(
+            num_states=5, num_inputs=2, num_modes=3, num_stages=5,
+            stopping_time=3),
+        "socnet": lambda: soc_network_problem(
             num_states=5, num_inputs=2, num_modes=3, num_stages=5,
             stopping_time=3),
     }[request.param]()[0]

@@ -77,3 +77,21 @@ def test_chock_parity_api():
     status = solver.chock(initial_state=x0, max_iters=5000, tol=1e-4)
     assert status == 0
     assert solver.result.converged
+
+
+def test_soc_network_converges_and_feasible():
+    """BASELINE config 3 shape (ball/SOC state-input constraints): the
+    solver converges and the solution respects the norm balls."""
+    from raocp_tpu.models import soc_network_problem
+
+    problem, x0 = soc_network_problem(num_states=4, num_inputs=2,
+                                      num_modes=2, num_stages=4,
+                                      stopping_time=2)
+    solver = Solver(problem)
+    res = solver.solve(x0, max_iters=8000, tol=1e-3)
+    assert res.status == 0
+    sp = solver.stacked
+    NL, N = sp.num_nonleaf, sp.num_nodes
+    xu = np.concatenate([res.primal.x[:NL], res.primal.u[:NL]], axis=1)
+    assert np.linalg.norm(xu, axis=1).max() <= 10.0 + 1e-2
+    assert np.linalg.norm(res.primal.x[NL:N], axis=1).max() <= 10.0 + 1e-2
