@@ -43,7 +43,9 @@ def main() -> None:
     problem, x0 = random_network_problem(
         num_states=50, num_inputs=20, num_modes=3, num_stages=8,
         stopping_time=8)
-    solver = Solver(problem, dtype=jnp.float32)
+    # offline="device": only per-mode dynamics + index plans cross the
+    # host->device link; the Riccati stacks are computed on-chip
+    solver = Solver(problem, dtype=jnp.float32, offline="device")
     sp = solver.stacked
 
     lam, _ = _power_iteration(sp)

@@ -193,6 +193,97 @@ def _offline_riccati(spec: RAOCP, n: int, m: int):
     return A, B, P, Rinv, K, Abar, sumAPB
 
 
+def _dedup_dynamics(spec: RAOCP, n: int, m: int):
+    """Distinct (A, B) pairs + per-node mode index (mode 0 = zero pair for
+    the root / padding rows). Host-side, O(num_nodes) hashing."""
+    tree = spec.tree
+    N = tree.num_nodes
+    modes_a = [np.zeros((n, n))]
+    modes_b = [np.zeros((n, m))]
+    seen = {}
+    idx = np.zeros(N, dtype=np.int32)
+    for j in range(1, N):
+        a = spec.state_dynamics_at_node(j)
+        b = spec.control_dynamics_at_node(j)
+        key = id(a)            # Markovian specs share mode objects
+        if key not in seen:
+            bkey = (a.tobytes(), b.tobytes())
+            if bkey in seen:
+                seen[key] = seen[bkey]
+            else:
+                seen[key] = seen[bkey] = len(modes_a)
+                modes_a.append(np.asarray(a, dtype=np.float64))
+                modes_b.append(np.asarray(b, dtype=np.float64))
+        idx[j] = seen[key]
+    return np.stack(modes_a), np.stack(modes_b), idx
+
+
+def _riccati_device(A, B, child_idx, child_mask, anc, stage_start,
+                    num_nonleaf: int, nl_pad: int):
+    """The same backward factorisation as :func:`_offline_riccati`, as one
+    jitted device program over the dense padded stacks.
+
+    Eliminates the dominant host->device transfer at scale (the [N, n, n]
+    P/Abar/K/... stacks — hundreds of MB at 10^4 nodes, GBs at 10^5): only
+    the per-mode dynamics and int32 index plans cross the wire; everything
+    else is computed where it is consumed. Trace-time stage loop, static
+    shapes, concatenate assembly (SPMD-safe, see ops/prox._set_rows).
+    """
+    ns = len(stage_start) - 1
+    ss = stage_start
+    np_pad, n = A.shape[0], A.shape[1]
+    m = B.shape[2]
+    dt = A.dtype
+    NL = num_nonleaf
+
+    def set_rows(buf, a, b, val):
+        return jnp.concatenate([buf[:a], val, buf[b:]], axis=0)
+
+    eye_n = jnp.eye(n, dtype=dt)
+    eye_m = jnp.eye(m, dtype=dt)
+    N = ss[ns]
+    # leaves: P = I; nonleaf + padding rows overwritten / zero
+    P = jnp.concatenate([
+        jnp.zeros((NL, n, n), dt),
+        jnp.broadcast_to(eye_n, (N - NL, n, n)),
+        jnp.zeros((np_pad - N, n, n), dt)])
+    K = jnp.zeros((nl_pad, m, n), dt)
+    Rinv = jnp.zeros((nl_pad, m, m), dt)
+    Abar = jnp.zeros((np_pad, n, n), dt)
+    sumAPB = jnp.zeros((nl_pad, n, m), dt)
+
+    for k in range(ns - 2, -1, -1):
+        a, b = ss[k], ss[k + 1]
+        a2, b2 = ss[k + 1], ss[k + 2]
+        Ac, Bc, Pc = A[a2:b2], B[a2:b2], P[a2:b2]
+        rel = jnp.clip(child_idx[a:b] - a2, 0, b2 - a2 - 1)
+        mask = child_mask[a:b][..., None, None]
+        PB = Pc @ Bc                                        # [W2, n, m]
+        BtPB = jnp.einsum("jba,jbc->jac", Bc, PB)
+        BtPA = jnp.einsum("jba,jbc->jac", Bc, Pc @ Ac)
+        r_tilde = eye_m + jnp.sum(BtPB[rel] * mask, axis=1)
+        sum_k = jnp.sum(BtPA[rel] * mask, axis=1)
+        Rinv_k = jnp.linalg.inv(r_tilde)
+        K_k = jnp.linalg.solve(r_tilde, -sum_k)
+        Kc = K_k[anc[a2:b2] - a]
+        Abar_c = Ac + Bc @ Kc
+        APB = jnp.einsum("jba,jbc->jac", Abar_c, PB)
+        AtPA = jnp.einsum("jba,jbc,jcd->jad", Abar_c, Pc, Abar_c)
+        P_k = (eye_n + jnp.einsum("iba,ibc->iac", K_k, K_k)
+               + jnp.sum(AtPA[rel] * mask, axis=1))
+        P = set_rows(P, a, b, P_k)
+        K = set_rows(K, a, b, K_k)
+        Rinv = set_rows(Rinv, a, b, Rinv_k)
+        sumAPB = set_rows(sumAPB, a, b, jnp.sum(APB[rel] * mask, axis=1))
+        Abar = set_rows(Abar, a2, b2, Abar_c)
+
+    return P, Rinv, K, Abar, sumAPB
+
+
+_riccati_device_jit = jax.jit(
+    _riccati_device, static_argnames=("stage_start", "num_nonleaf", "nl_pad"))
+
+
 def _offline_kernel_projectors(spec: RAOCP, d_max: int) -> np.ndarray:
     """Orthogonal projectors onto ker([[E', -I, -I], [F', 0, 0]]) in the
     padded [y | tau | s] layout (parity: reference ``cache.py:235-242``,
@@ -241,16 +332,25 @@ def _pad0(arr: np.ndarray, rows: int, fill: float = 0.0) -> np.ndarray:
 
 
 def build_stacked(spec: RAOCP, dtype=None,
-                  pad_multiple: int = 1) -> StackedProblem:
+                  pad_multiple: int = 1, offline: str = "host") -> StackedProblem:
     """Materialise a :class:`StackedProblem` from a problem specification.
 
     ``pad_multiple``: pad each node space (all-node / nonleaf / leaf) to a
     multiple of this, so the arrays shard evenly over that many devices.
     Ghost rows are zero (bounds: +-inf) and provably stay zero through every
     operator/prox (see tests/test_sharding.py).
+
+    ``offline``: where the Riccati-like factorisation runs. ``"host"``
+    computes it in numpy and transfers the dense [N, n, n] stacks (exact
+    reference parity in float64); ``"device"`` transfers only the per-mode
+    dynamics + index plans and runs the factorisation as one jitted program
+    on the accelerator (:func:`_riccati_device`) — the right choice at scale
+    or behind a slow host<->device link.
     """
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    if offline not in ("host", "device"):
+        raise ValueError(f"offline must be 'host' or 'device', got {offline}")
     tree = spec.tree
     N = tree.num_nodes
     NL = tree.num_nonleaf_nodes
@@ -265,7 +365,8 @@ def build_stacked(spec: RAOCP, dtype=None,
 
     NP_, NLP, LFP = up(N), up(NL), up(LF)
 
-    A, B, P, Rinv, K, Abar, sumAPB = _offline_riccati(spec, n, m)
+    if offline == "host":
+        A, B, P, Rinv, K, Abar, sumAPB = _offline_riccati(spec, n, m)
     Pi = _offline_kernel_projectors(spec, d)
 
     sqrtQ = np.zeros((N, n, n))
@@ -333,18 +434,41 @@ def build_stacked(spec: RAOCP, dtype=None,
     def dev(x, dt=dtype):
         return jnp.asarray(x, dtype=dt)
 
+    stage_start = tuple(int(v) for v in tree.stage_start)
+    anc_dev = dev(_pad0(anc, NP_), jnp.int32)
+    child_idx_dev = dev(_pad0(tree.children_padded, NLP), jnp.int32)
+    child_mask_dev = dev(_pad0(tree.children_mask.astype(np.float64), NLP))
+
+    if offline == "device":
+        modes_a, modes_b, w_idx = _dedup_dynamics(spec, n, m)
+        idx_dev = dev(_pad0(w_idx, NP_), jnp.int32)  # pad rows -> zero mode
+
+        @jax.jit
+        def _expand(ma, mb, idx):
+            return ma[idx], mb[idx]
+
+        A_dev, B_dev = _expand(dev(modes_a), dev(modes_b), idx_dev)
+        P_dev, Rinv_dev, K_dev, Abar_dev, sumAPB_dev = _riccati_device_jit(
+            A_dev, B_dev, child_idx_dev, child_mask_dev, anc_dev,
+            stage_start, num_nonleaf=NL, nl_pad=NLP)
+    else:
+        A_dev, B_dev = dev(_pad0(A, NP_)), dev(_pad0(B, NP_))
+        P_dev, Rinv_dev, K_dev = dev(_pad0(P, NP_)), dev(_pad0(Rinv, NLP)), \
+            dev(_pad0(K, NLP))
+        Abar_dev, sumAPB_dev = dev(_pad0(Abar, NP_)), dev(_pad0(sumAPB, NLP))
+
     return StackedProblem(
         n=n, m=m, num_nodes=N, num_nonleaf=NL, num_leaf=LF,
         d_max=d, num_stages=tree.num_stages,
-        stage_start=tuple(int(v) for v in tree.stage_start),
+        stage_start=stage_start,
         np_pad=NP_, nl_pad=NLP, lf_pad=LFP,
-        anc=dev(_pad0(anc, NP_), jnp.int32),
-        child_idx=dev(_pad0(tree.children_padded, NLP), jnp.int32),
-        child_mask=dev(_pad0(tree.children_mask.astype(np.float64), NLP)),
+        anc=anc_dev,
+        child_idx=child_idx_dev,
+        child_mask=child_mask_dev,
         child_rank=dev(_pad0(tree.child_rank, NP_), jnp.int32),
         nz_mask=dev(_pad0(nz_mask, NP_)),
         zero_slot=jnp.asarray(zero_slot),
-        A=dev(_pad0(A, NP_)), B=dev(_pad0(B, NP_)),
+        A=A_dev, B=B_dev,
         sqrtQ=from_dense_stack(_pad0(sqrtQ, NP_), dtype),
         sqrtR=from_dense_stack(_pad0(sqrtR, NP_), dtype),
         sqrtP=from_dense_stack(_pad0(sqrtP, LFP), dtype),
@@ -359,7 +483,6 @@ def build_stacked(spec: RAOCP, dtype=None,
         l_active=dev(_pad0(l_active, LFP)),
         l_ball_c=dev(_pad0(l_ball_c, LFP)),
         l_ball_r=dev(_pad0(l_ball_r, LFP, np.inf)),
-        P=dev(_pad0(P, NP_)), Rinv=dev(_pad0(Rinv, NLP)),
-        K=dev(_pad0(K, NLP)), Abar=dev(_pad0(Abar, NP_)),
-        sumAPB=dev(_pad0(sumAPB, NLP)), Pi=dev(_pad0(Pi, NLP)),
+        P=P_dev, Rinv=Rinv_dev, K=K_dev, Abar=Abar_dev,
+        sumAPB=sumAPB_dev, Pi=dev(_pad0(Pi, NLP)),
     )

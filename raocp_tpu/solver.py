@@ -188,10 +188,11 @@ class Solver:
     """Builds the stacked problem + offline factorisations, then solves."""
 
     def __init__(self, problem_spec: RAOCP, dtype=None,
-                 pad_multiple: int = 1):
+                 pad_multiple: int = 1, offline: str = "host"):
         self.__spec = problem_spec
         self.__stacked = build_stacked(problem_spec, dtype=dtype,
-                                       pad_multiple=pad_multiple)
+                                       pad_multiple=pad_multiple,
+                                       offline=offline)
         self.__result: Optional[SolverResult] = None
 
     @property

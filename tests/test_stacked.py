@@ -112,3 +112,31 @@ def test_stacked_layouts(spec_and_sp):
         np.testing.assert_allclose(A[j], spec.state_dynamics_at_node(j))
         np.testing.assert_allclose(B[j], spec.control_dynamics_at_node(j))
     assert (A[0] == 0).all() and (B[0] == 0).all()
+
+
+def test_device_offline_matches_host():
+    """build_stacked(offline='device') must reproduce the host (numpy)
+    Riccati factorisation and give the same solver behaviour."""
+    from raocp_tpu.models import demo_problem, random_network_problem
+
+    for problem, _ in [demo_problem(),
+                       random_network_problem(num_states=5, num_inputs=2,
+                                              num_modes=3, num_stages=5,
+                                              stopping_time=3)]:
+        host = build_stacked(problem, offline="host")
+        dev = build_stacked(problem, offline="device")
+        for name in ("A", "B", "P", "Rinv", "K", "Abar", "sumAPB"):
+            np.testing.assert_allclose(
+                np.asarray(getattr(dev, name)), np.asarray(getattr(host, name)),
+                atol=1e-9, err_msg=f"device offline mismatch in {name}")
+
+
+def test_device_offline_solver_parity():
+    """End-to-end: the device-offline solver hits the 937-iteration oracle."""
+    from raocp_tpu.models import demo_problem
+    from raocp_tpu.solver import Solver
+
+    problem, x0 = demo_problem()
+    res = Solver(problem, offline="device").solve(x0, max_iters=2000, tol=1e-3)
+    assert res.status == 0
+    assert res.num_iters == 937
