@@ -62,6 +62,15 @@ class ModalMatrix:
         return jnp.take_along_axis(
             all_modes, self.idx[:, None, None], axis=1)[:, 0]
 
+    def slice_rows(self, a: int, b: int) -> "ModalMatrix":
+        """View of rows [a, b) (static bounds) — modes stay shared, so the
+        per-stage sweeps read only the tiny mode table plus an int32 slice."""
+        if self.dense_m is not None:
+            return ModalMatrix(dense_m=self.dense_m[a:b], modes=None,
+                               idx=None)
+        return ModalMatrix(dense_m=None, modes=self.modes,
+                           idx=self.idx[a:b])
+
     def dense(self):
         """Materialise the [N, a, b] stack (for tests/inspection)."""
         if self.dense_m is not None:

@@ -69,6 +69,8 @@ class StackedProblem:
     # -- problem data ----------------------------------------------------------
     A: jax.Array            # [num_nodes, n, n]; row 0 zero
     B: jax.Array            # [num_nodes, n, m]; row 0 zero
+    Am: ModalMatrix         # mode-grouped A (mode 0 = zero; root/pad rows)
+    Bm: ModalMatrix         # mode-grouped B
     sqrtQ: ModalMatrix      # [num_nodes, n, n]; row 0 zero (mode-grouped)
     sqrtR: ModalMatrix      # [num_nodes, m, m]; row 0 zero (mode-grouped)
     sqrtP: ModalMatrix      # [num_leaf, n, n] (mode-grouped)
@@ -439,15 +441,17 @@ def build_stacked(spec: RAOCP, dtype=None,
     child_idx_dev = dev(_pad0(tree.children_padded, NLP), jnp.int32)
     child_mask_dev = dev(_pad0(tree.children_mask.astype(np.float64), NLP))
 
-    if offline == "device":
-        modes_a, modes_b, w_idx = _dedup_dynamics(spec, n, m)
-        idx_dev = dev(_pad0(w_idx, NP_), jnp.int32)  # pad rows -> zero mode
+    modes_a, modes_b, w_idx = _dedup_dynamics(spec, n, m)
+    idx_dev = dev(_pad0(w_idx, NP_), jnp.int32)      # pad rows -> zero mode
+    Am = ModalMatrix(dense_m=None, modes=dev(modes_a), idx=idx_dev)
+    Bm = ModalMatrix(dense_m=None, modes=dev(modes_b), idx=idx_dev)
 
+    if offline == "device":
         @jax.jit
         def _expand(ma, mb, idx):
             return ma[idx], mb[idx]
 
-        A_dev, B_dev = _expand(dev(modes_a), dev(modes_b), idx_dev)
+        A_dev, B_dev = _expand(Am.modes, Bm.modes, idx_dev)
         P_dev, Rinv_dev, K_dev, Abar_dev, sumAPB_dev = _riccati_device_jit(
             A_dev, B_dev, child_idx_dev, child_mask_dev, anc_dev,
             stage_start, num_nonleaf=NL, nl_pad=NLP)
@@ -468,7 +472,7 @@ def build_stacked(spec: RAOCP, dtype=None,
         child_rank=dev(_pad0(tree.child_rank, NP_), jnp.int32),
         nz_mask=dev(_pad0(nz_mask, NP_)),
         zero_slot=jnp.asarray(zero_slot),
-        A=A_dev, B=B_dev,
+        A=A_dev, B=B_dev, Am=Am, Bm=Bm,
         sqrtQ=from_dense_stack(_pad0(sqrtQ, NP_), dtype),
         sqrtR=from_dense_stack(_pad0(sqrtR, NP_), dtype),
         sqrtP=from_dense_stack(_pad0(sqrtP, LFP), dtype),
