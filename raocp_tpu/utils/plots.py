@@ -69,3 +69,29 @@ def plot_solution(tree, result, filename: Optional[str] = None,
     if show:
         plt.show()
     return fig
+
+
+def save_residuals_tex(result, filename: str) -> None:
+    """Write the residual curves as a standalone pgfplots .tex file.
+
+    Parity with the reference's tikzplotlib export of the residual plot
+    (reference ``solver.py:199`` writes '4-3-residuals.tex'); implemented
+    directly (tikzplotlib is not a dependency) as a semilog axis with one
+    addplot per curve.
+    """
+    hist = result.xi_history
+    names = ("xi_0", "xi_1", "xi_2")
+    lines = [
+        "\\begin{tikzpicture}",
+        "\\begin{semilogyaxis}[",
+        "xlabel={iteration $k$}, ylabel={residual},",
+        "legend entries={$\\xi_0$,$\\xi_1$,$\\xi_2$}]",
+    ]
+    for c in range(3):
+        lines.append(f"\\addplot+[mark=none] coordinates {{%  {names[c]}")
+        for k in range(hist.shape[0]):
+            lines.append(f"({k},{hist[k, c]:.6e})")
+        lines.append("};")
+    lines += ["\\end{semilogyaxis}", "\\end{tikzpicture}", ""]
+    with open(filename, "w") as fh:
+        fh.write("\n".join(lines))

@@ -188,3 +188,22 @@ def test_degenerate_horizons():
     # after the stopping time all nodes have exactly one child
     for i in t2.nodes_at_stage(1):
         assert len(t2.children_of(i)) == 1
+
+
+def test_large_tree_construction_scales():
+    """10^5-node tree builds in O(nodes) time (the reference's repeated
+    np.concatenate growth is quadratic — scenario_tree.py:294-313)."""
+    import time
+
+    p = np.full((3, 3), 1.0 / 3)
+    v = np.full(3, 1.0 / 3)
+    tic = time.perf_counter()
+    tree = MarkovChainScenarioTreeFactory(p, v, 10, 10).create()
+    toc = time.perf_counter()
+    assert tree.num_nodes == 1 + sum(3 ** k for k in range(1, 11))  # 88573
+    assert toc - tic < 30.0
+    # structural invariants at scale
+    assert tree.num_nonleaf_nodes == tree.num_nodes - 3 ** 10
+    probs = tree.probabilities
+    leaves = np.arange(tree.num_nonleaf_nodes, tree.num_nodes)
+    np.testing.assert_allclose(probs[leaves].sum(), 1.0, atol=1e-9)
