@@ -313,3 +313,62 @@ class Solver:
         from raocp_tpu.utils.plots import plot_solution
         return plot_solution(self.__spec.tree, self.__result,
                              filename=filename, show=show)
+
+    def validate(self, result: Optional[SolverResult] = None) -> dict:
+        """Host-side sanity check of a solution — the debug-mode analogue of
+        the reference's runtime kernel-projection self-check
+        (``cache.py:311-312``), run once after the solve instead of every
+        iteration. Returns max-norm violations of:
+
+        * ``dynamics``: x_j - (A_j x_i + B_j u_i) over non-root nodes
+        * ``kernel``: the risk-recursion kernel constraint M_i [y; tau; s]
+        * ``constraints``: distance of [x; u] / x to each node's constraint
+          set (0 when feasible)
+        """
+        res = result if result is not None else self.__result
+        if res is None:
+            raise RuntimeError("no solve result to validate")
+        sp = self.__stacked
+        spec = self.__spec
+        tree = spec.tree
+        x = np.asarray(res.primal.x)
+        u = np.asarray(res.primal.u)
+        y = np.asarray(res.primal.y)
+        tau = np.asarray(res.primal.tau)
+        s = np.asarray(res.primal.s)
+        NL, N = sp.num_nonleaf, sp.num_nodes
+
+        dyn = 0.0
+        for j in range(1, N):
+            i = int(tree.ancestor_of(j))
+            pred = spec.state_dynamics_at_node(j) @ x[i] \
+                + spec.control_dynamics_at_node(j) @ u[i]
+            dyn = max(dyn, float(np.abs(x[j] - pred).max()))
+
+        ker = 0.0
+        for i in range(NL):
+            risk = spec.risk_at_node(i)
+            ch = tree.children_of(i)
+            c = len(ch)
+            yi = np.concatenate([y[i, :2 * c], [y[i, 2 * sp.d_max]]])
+            M = np.vstack((
+                np.hstack((risk.matrix_e.T, -np.eye(c), -np.eye(c))),
+                np.hstack((risk.matrix_f.T, np.zeros((risk.matrix_f.shape[1],
+                                                      c)),
+                           np.zeros((risk.matrix_f.shape[1], c))))))
+            v = np.concatenate([yi, tau[ch], s[ch]])
+            ker = max(ker, float(np.abs(M @ v).max()))
+
+        con = 0.0
+        for i in range(NL):
+            c_i = spec.nonleaf_constraint_at_node(i)
+            if c_i.is_active:
+                xu = np.concatenate([x[i], u[i]])
+                con = max(con, float(np.abs(xu - c_i.project(xu)).max()))
+        for i in range(NL, N):
+            c_i = spec.leaf_constraint_at_node(i)
+            if c_i.is_active:
+                con = max(con,
+                          float(np.abs(x[i] - c_i.project(x[i])).max()))
+
+        return {"dynamics": dyn, "kernel": ker, "constraints": con}

@@ -95,3 +95,15 @@ def test_soc_network_converges_and_feasible():
     xu = np.concatenate([res.primal.x[:NL], res.primal.u[:NL]], axis=1)
     assert np.linalg.norm(xu, axis=1).max() <= 10.0 + 1e-2
     assert np.linalg.norm(res.primal.x[NL:N], axis=1).max() <= 10.0 + 1e-2
+
+
+def test_validate_solution(demo_result):
+    """The post-solve self-check (the reference's runtime kernel assertion,
+    cache.py:311-312, as a one-shot validation)."""
+    _, solver, result = demo_result
+    v = solver.validate(result)
+    # prox_f projects exactly onto dynamics/kernel; CP leaves O(tol)
+    # violations only through the dual constraint handling
+    assert v["dynamics"] < 1e-8
+    assert v["kernel"] < 1e-8
+    assert v["constraints"] < 1e-2
