@@ -1,8 +1,10 @@
 from raocp_tpu.parallel.sharding import (
+    initialize_distributed,
     make_mesh,
     node_sharding,
     shard_problem,
     shard_variables,
 )
 
-__all__ = ["make_mesh", "node_sharding", "shard_problem", "shard_variables"]
+__all__ = ["initialize_distributed", "make_mesh", "node_sharding",
+           "shard_problem", "shard_variables"]

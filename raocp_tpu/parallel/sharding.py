@@ -42,7 +42,7 @@ _NODE_SHARDED_FIELDS = (
 )
 # mode-grouped matrix stacks: the small mode table is replicated, the
 # per-node mode index (or dense stack) is sharded
-_MODAL_FIELDS = ("sqrtQ", "sqrtR", "sqrtP")
+_MODAL_FIELDS = ("sqrtQ", "sqrtR", "sqrtP", "Am", "Bm")
 _REPLICATED_FIELDS = ("zero_slot",)
 
 
@@ -93,3 +93,26 @@ def shard_variables(tree, mesh: Mesh):
     """Place a Primal/Dual (or any node-leading pytree) on a mesh."""
     return jax.tree_util.tree_map(
         lambda arr: jax.device_put(arr, node_sharding(mesh, arr.ndim)), tree)
+
+
+def initialize_distributed(coordinator_address: Optional[str] = None,
+                           num_processes: Optional[int] = None,
+                           process_id: Optional[int] = None) -> int:
+    """Initialise multi-host JAX (the TPU-native replacement for the
+    communication backend the reference lacks — SURVEY §5: no NCCL/MPI).
+
+    Thin wrapper over ``jax.distributed.initialize``: on TPU pods all
+    arguments are discovered from the environment, on other platforms they
+    must be passed. After this, :func:`make_mesh` over ``jax.devices()``
+    spans every host's chips and the jitted solver programs run SPMD with
+    GSPMD-inserted ICI/DCN collectives. Returns the global device count.
+    No-op if the distributed runtime is already initialised.
+    """
+    try:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes, process_id=process_id)
+    except RuntimeError as e:           # already initialised
+        if "already" not in str(e):
+            raise
+    return len(jax.devices())
