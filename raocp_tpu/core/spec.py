@@ -136,23 +136,26 @@ class RAOCP:
         if not self.__tree.is_markovian:
             raise TypeError("costs provided as Markovian, scenario tree "
                             "provided is not Markovian")
+        # costs are immutable once built; sharing one instance per mode
+        # (instead of the reference's per-node deepcopy, raocp_spec.py:127)
+        # keeps assembly O(modes) in memory and seconds at 10^5 nodes
         for i in range(1, self.__num_nodes):
             self.__list_of_nonleaf_costs[i] = \
-                deepcopy(ordered_list_of_costs[self.__tree.value_at_node(i)])
+                ordered_list_of_costs[self.__tree.value_at_node(i)]
         return self
 
     def with_all_nonleaf_costs(self, cost):
         if not cost.node_type.is_nonleaf:
             raise Exception("Nonleaf cost provided is not nonleaf")
         for i in range(1, self.__num_nodes):
-            self.__list_of_nonleaf_costs[i] = deepcopy(cost)
+            self.__list_of_nonleaf_costs[i] = cost
         return self
 
     def with_all_leaf_costs(self, cost):
         if not cost.node_type.is_leaf:
             raise Exception("Leaf cost provided is not leaf")
         for i in range(self.__num_nonleaf_nodes, self.__num_nodes):
-            self.__list_of_leaf_costs[i] = deepcopy(cost)
+            self.__list_of_leaf_costs[i] = cost
         return self
 
     # -- constraints ------------------------------------------------------------
@@ -165,8 +168,9 @@ class RAOCP:
             self.__list_of_dynamics[-1].state_dynamics.shape[1]
         nonleaf_constraint.control_size = \
             self.__list_of_dynamics[-1].control_dynamics.shape[1]
+        # constraints are immutable after size injection; share the instance
         for i in range(self.__num_nonleaf_nodes):
-            self.__list_of_nonleaf_constraints[i] = deepcopy(nonleaf_constraint)
+            self.__list_of_nonleaf_constraints[i] = nonleaf_constraint
         return self
 
     def with_all_leaf_constraints(self, leaf_constraint):
@@ -176,7 +180,7 @@ class RAOCP:
         leaf_constraint.state_size = \
             self.__list_of_dynamics[-1].state_dynamics.shape[1]
         for i in range(self.__num_nonleaf_nodes, self.__num_nodes):
-            self.__list_of_leaf_constraints[i] = deepcopy(leaf_constraint)
+            self.__list_of_leaf_constraints[i] = leaf_constraint
         return self
 
     # -- risks --------------------------------------------------------------------

@@ -371,15 +371,52 @@ def build_stacked(spec: RAOCP, dtype=None,
         A, B, P, Rinv, K, Abar, sumAPB = _offline_riccati(spec, n, m)
     Pi = _offline_kernel_projectors(spec, d)
 
-    sqrtQ = np.zeros((N, n, n))
-    sqrtR = np.zeros((N, m, m))
-    for j in range(1, N):
-        cost = spec.nonleaf_cost_at_node(j)
-        sqrtQ[j] = cost.sqrt_state_weights
-        sqrtR[j] = cost.sqrt_control_weights
-    sqrtP = np.zeros((LF, n, n))
-    for i in range(NL, N):
-        sqrtP[i - NL] = spec.leaf_cost_at_node(i).sqrt_state_weights
+    def modal_stack(fetch, start: int, stop: int, offset: int, rows: int,
+                    shape, dt):
+        """Mode-grouped stack from per-node matrices without materialising
+        the dense [rows, *shape] array: id()-keyed dedup (shared immutable
+        instances hit the cache; distinct objects fall back to content
+        hashing). Node ``j`` lands in row ``j - offset``; mode 0 is the zero
+        matrix (unassigned/padded rows)."""
+        from raocp_tpu.core.modal import MODAL_MAX_MODES
+
+        modes = [np.zeros(shape)]
+        seen: dict = {}
+        idx = np.zeros(rows, dtype=np.int32)
+        dense = False
+        for j in range(start, stop):
+            mat = fetch(j)
+            key = id(mat)
+            mode = seen.get(key)
+            if mode is None:
+                bkey = mat.tobytes()
+                mode = seen.get(bkey)
+                if mode is None:
+                    mode = len(modes)
+                    modes.append(np.asarray(mat, dtype=np.float64))
+                seen[key] = seen[bkey] = mode
+            idx[j - offset] = mode
+            if len(modes) > MODAL_MAX_MODES:
+                dense = True
+                break
+        if dense:                                   # too many modes
+            stack = np.zeros((rows,) + shape)
+            for j in range(start, stop):
+                stack[j - offset] = fetch(j)
+            return from_dense_stack(stack, dt)
+        return ModalMatrix(dense_m=None,
+                           modes=jnp.asarray(np.stack(modes), dt),
+                           idx=jnp.asarray(idx))
+
+    sqrtQ_m = modal_stack(
+        lambda j: spec.nonleaf_cost_at_node(j).sqrt_state_weights,
+        1, N, 0, NP_, (n, n), dtype)
+    sqrtR_m = modal_stack(
+        lambda j: spec.nonleaf_cost_at_node(j).sqrt_control_weights,
+        1, N, 0, NP_, (m, m), dtype)
+    sqrtP_m = modal_stack(
+        lambda i: spec.leaf_cost_at_node(i).sqrt_state_weights,
+        NL, N, NL, LFP, (n, n), dtype)
 
     # risk b vectors + masks in the padded layout
     b_pad = np.zeros((NL, Y))
@@ -473,9 +510,7 @@ def build_stacked(spec: RAOCP, dtype=None,
         nz_mask=dev(_pad0(nz_mask, NP_)),
         zero_slot=jnp.asarray(zero_slot),
         A=A_dev, B=B_dev, Am=Am, Bm=Bm,
-        sqrtQ=from_dense_stack(_pad0(sqrtQ, NP_), dtype),
-        sqrtR=from_dense_stack(_pad0(sqrtR, NP_), dtype),
-        sqrtP=from_dense_stack(_pad0(sqrtP, LFP), dtype),
+        sqrtQ=sqrtQ_m, sqrtR=sqrtR_m, sqrtP=sqrtP_m,
         b_pad=dev(_pad0(b_pad, NLP)), y_mask=dev(_pad0(y_mask, NLP)),
         nl_lo=dev(_pad0(nl_lo, NLP, -np.inf)),
         nl_hi=dev(_pad0(nl_hi, NLP, np.inf)),
