@@ -107,3 +107,19 @@ def test_validate_solution(demo_result):
     assert v["dynamics"] < 1e-8
     assert v["kernel"] < 1e-8
     assert v["constraints"] < 1e-2
+
+
+def test_anderson_acceleration_converges_faster():
+    """Safeguarded Anderson acceleration (BASELINE config 4's accelerated
+    iterations): converges to the same solution in fewer iterations."""
+    from raocp_tpu.models import demo_problem
+
+    problem, x0 = demo_problem()
+    solver = Solver(problem)
+    plain = solver.solve(x0, max_iters=2000, tol=1e-3)
+    acc = solver.solve(x0, max_iters=2000, tol=1e-3, accel="anderson")
+    assert acc.status == 0
+    assert acc.num_iters < plain.num_iters
+    # same fixed point up to tolerance
+    dx = np.abs(np.asarray(plain.primal.x) - np.asarray(acc.primal.x)).max()
+    assert dx < 1e-2
