@@ -126,17 +126,12 @@ def prox_f(sp: StackedProblem, z: Primal, alpha, x0) -> Primal:
     return Primal(x=x, u=u, y=y, tau=tau, s=s)
 
 
-def prox_g_conj(sp: StackedProblem, eta: Dual, alpha) -> Dual:
-    """prox of alpha*g* at eta via the Moreau identity
-    (parity: reference ``cache.py:321-393``)."""
+def g_conj_projections(sp: StackedProblem, mod: Dual) -> Dual:
+    """The batched cone/box/ball projections of the dual prox (reference
+    algo 7, ``cache.py:349-390``), applied to the already scaled-and-shifted
+    ``mod`` vector. Split out so the packed solver core can run the
+    surrounding Moreau arithmetic on flat vectors."""
     n, m = sp.n, sp.m
-    inv = 1.0 / alpha
-    mod = Dual(*(inv * part for part in eta))
-    # epigraph half-shifts (reference add_halves, cache.py:334-347)
-    mod = mod._replace(e5=mod.e5 - 0.5, e6=mod.e6 + 0.5,
-                       e12=mod.e12 - 0.5, e13=mod.e13 + 0.5)
-
-    # batched projections (reference algo 7, cache.py:349-390)
     p1 = risk_dual_project(mod.e1, sp.zero_slot)
     p2 = nonneg_project(mod.e2)
     soc_head = jnp.concatenate([mod.e3, mod.e4, mod.e5[:, None]], axis=1)
@@ -149,8 +144,30 @@ def prox_g_conj(sp: StackedProblem, eta: Dual, alpha) -> Dual:
     p11, p12, p13 = plx[:, :n], plx[:, -1], plt
     p14 = constraint_project(mod.e14, sp.l_lo, sp.l_hi,
                              sp.l_ball_c, sp.l_ball_r)
-    proj = Dual(e1=p1, e2=p2, e3=p3, e4=p4, e5=p5, e6=p6, e7=p7,
+    return Dual(e1=p1, e2=p2, e3=p3, e4=p4, e5=p5, e6=p6, e7=p7,
                 e11=p11, e12=p12, e13=p13, e14=p14)
 
+
+def half_shift_dual(sp: StackedProblem) -> Dual:
+    """The constant epigraph half-shift vector (reference add_halves,
+    ``cache.py:334-347``) as a Dual pytree: -1/2 on e5/e12, +1/2 on e6/e13,
+    zero elsewhere (masked so dummy/padded rows stay zero)."""
+    zero = sp.zero_dual()
+    half_np = 0.5 * sp.nz_mask
+    half_lf = 0.5 * jnp.where(
+        jnp.arange(sp.lf_pad) < sp.num_leaf, 1.0, 0.0).astype(sp.dtype)
+    return zero._replace(e5=-half_np, e6=half_np,
+                         e12=-half_lf, e13=half_lf)
+
+
+def prox_g_conj(sp: StackedProblem, eta: Dual, alpha) -> Dual:
+    """prox of alpha*g* at eta via the Moreau identity
+    (parity: reference ``cache.py:321-393``)."""
+    inv = 1.0 / alpha
+    mod = Dual(*(inv * part for part in eta))
+    # epigraph half-shifts (reference add_halves, cache.py:334-347)
+    mod = mod._replace(e5=mod.e5 - 0.5, e6=mod.e6 + 0.5,
+                       e12=mod.e12 - 0.5, e13=mod.e13 + 0.5)
+    proj = g_conj_projections(sp, mod)
     # Moreau: eta+ = alpha * (modified - projected)
     return Dual(*(alpha * (mp - pp) for mp, pp in zip(mod, proj)))

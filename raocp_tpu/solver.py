@@ -30,7 +30,8 @@ from raocp_tpu.core.spec import RAOCP
 from raocp_tpu.core.stacked import StackedProblem, build_stacked
 from raocp_tpu.core.variables import (Dual, Primal, tree_dot, tree_inf_norm)
 from raocp_tpu.ops.operator import ell, ell_t
-from raocp_tpu.ops.prox import prox_f, prox_g_conj
+from raocp_tpu.ops.prox import (g_conj_projections, half_shift_dual,
+                                prox_f, prox_g_conj)
 
 __all__ = ["Solver", "SolverResult", "cp_iteration"]
 
@@ -111,39 +112,60 @@ def _power_iteration(sp: StackedProblem, max_iters: int = 10000,
     return lam, iters
 
 
-def cp_iteration(sp: StackedProblem, z, eta, Lz, LtEta, alpha1, alpha2, x0):
-    """One full Chambolle-Pock step + residuals (the flagship jittable step).
+def _cp_iteration_packed(sp: StackedProblem, packers, pz, peta, plz, plt,
+                         alpha1, alpha2, x0):
+    """One full Chambolle-Pock step + residuals on FLAT-PACKED iterates.
 
-    Carries L z and L'eta between iterations so one step costs three operator
-    applies. Returns (z+, eta+, L z+, L'eta+, err, derr) where err/derr are
-    the [xi_0, xi_1, xi_2] / [delta_0, delta_1, delta_2] max-norms.
+    The iteration is op-launch-bound on the many small per-leaf arrays, so
+    all linear combinations, Moreau combines, and norms run on single packed
+    vectors (one op each); only the structured maps (operators, projections,
+    DP sweeps) see the unpacked pytree views — which XLA fuses into their
+    consumers. Carries L z and L'eta so one step costs three operator
+    applies (the reference uses five, solver.py:27-95).
     """
+    pack_p, unpack_p, pack_d, unpack_d = packers
     # primal: z+ = prox_f(z - a1 L'eta)
-    z_half = jax.tree_util.tree_map(lambda a, b: a - alpha1 * b, z, LtEta)
-    z_new = prox_f(sp, z_half, alpha1, x0)
-    Lz_new = ell(sp, z_new)
-    # dual: eta+ = prox_g*(eta + a2 L(2 z+ - z))
-    eta_half = jax.tree_util.tree_map(
-        lambda e, ln, lo: e + alpha2 * (2.0 * ln - lo), eta, Lz_new, Lz)
-    eta_new = prox_g_conj(sp, eta_half, alpha2)
-    LtEta_new = ell_t(sp, eta_new)
+    z_new = prox_f(sp, unpack_p(pz - alpha1 * plt), alpha1, x0)
+    pzn = pack_p(z_new)
+    plzn = pack_d(ell(sp, z_new))
+    # dual: eta+ = prox_g*(eta + a2 L(2 z+ - z)) — Moreau arithmetic on the
+    # packed vector, only the projections see the unpacked views
+    shift_p = pack_d(half_shift_dual(sp))        # traced constant
+    mod_p = (peta + alpha2 * (2.0 * plzn - plz)) / alpha2 + shift_p
+    proj = g_conj_projections(sp, unpack_d(mod_p))
+    pen = alpha2 * (mod_p - pack_d(proj))
+    eta_new = unpack_d(pen)
+    pltn = pack_p(ell_t(sp, eta_new))
     # residuals (reference solver.py:63-95)
-    xi1 = jax.tree_util.tree_map(
-        lambda a, b, ta, tb: (a - b) / alpha1 - (ta - tb),
-        z, z_new, LtEta, LtEta_new)
-    xi2 = jax.tree_util.tree_map(
-        lambda a, b, la, lb: (a - b) / alpha2 + (la - lb),
-        eta, eta_new, Lz_new, Lz)
-    xi0 = jax.tree_util.tree_map(lambda a, b: a + b, xi1, ell_t(sp, xi2))
-    d1 = jax.tree_util.tree_map(lambda a, b: a - b, z_new, z)
-    d2 = jax.tree_util.tree_map(lambda a, b: a - b, eta_new, eta)
-    d0 = jax.tree_util.tree_map(
-        lambda a, ta, tb: a - (ta - tb), d1, LtEta_new, LtEta)
-    err = jnp.stack([tree_inf_norm(xi0), tree_inf_norm(xi1),
-                     tree_inf_norm(xi2)])
-    derr = jnp.stack([tree_inf_norm(d0), tree_inf_norm(d1),
-                      tree_inf_norm(d2)])
-    return z_new, eta_new, Lz_new, LtEta_new, err, derr
+    xi1 = (pz - pzn) / alpha1 - (plt - pltn)
+    xi2 = (peta - pen) / alpha2 + (plzn - plz)
+    xi0 = xi1 + pack_p(ell_t(sp, unpack_d(xi2)))
+    d1 = pzn - pz
+    d2 = pen - peta
+    d0 = d1 - (pltn - plt)
+    err = jnp.stack([jnp.max(jnp.abs(xi0)), jnp.max(jnp.abs(xi1)),
+                     jnp.max(jnp.abs(xi2))])
+    derr = jnp.stack([jnp.max(jnp.abs(d0)), jnp.max(jnp.abs(d1)),
+                      jnp.max(jnp.abs(d2))])
+    return pzn, pen, plzn, pltn, err, derr
+
+
+def cp_iteration(sp: StackedProblem, z, eta, Lz, LtEta, alpha1, alpha2, x0):
+    """One full Chambolle-Pock step + residuals on primal/dual pytrees.
+
+    Thin wrapper over the packed core (:func:`_cp_iteration_packed`).
+    Returns (z+, eta+, L z+, L'eta+, err, derr) where err/derr are the
+    [xi_0, xi_1, xi_2] / [delta_0, delta_1, delta_2] max-norms.
+    """
+    from raocp_tpu.core.variables import make_packers
+
+    packers = make_packers(sp)
+    pack_p, unpack_p, pack_d, unpack_d = packers
+    pzn, pen, plzn, pltn, err, derr = _cp_iteration_packed(
+        sp, packers, pack_p(z), pack_d(eta), pack_d(Lz), pack_p(LtEta),
+        alpha1, alpha2, x0)
+    return (unpack_p(pzn), unpack_d(pen), unpack_d(plzn), unpack_p(pltn),
+            err, derr)
 
 
 def _log_residuals(k, err):
@@ -156,22 +178,28 @@ def _log_residuals(k, err):
 def _run_cp(sp: StackedProblem, z0, eta0, x0, alpha1, alpha2, tol,
             max_iters: int, log_every=None):
     """The full CP loop. Returns (z, eta, iters, final_errors, histories)."""
-    Lz = ell(sp, z0)
-    LtEta = ell_t(sp, eta0)
+    from raocp_tpu.core.variables import make_packers
+
+    packers = make_packers(sp)
+    pack_p, unpack_p, pack_d, unpack_d = packers
+    pz0 = pack_p(Primal(*z0))
+    peta0 = pack_d(Dual(*eta0))
+    plz = pack_d(ell(sp, unpack_p(pz0)))
+    plt = pack_p(ell_t(sp, unpack_d(peta0)))
     hist = jnp.zeros((max_iters + 1, 6), sp.dtype)
     err = jnp.full((3,), jnp.inf, sp.dtype)
 
     def body(carry):
-        z, eta, Lz, LtEta, k, _, hist = carry
-        z, eta, Lz, LtEta, err, derr = cp_iteration(
-            sp, z, eta, Lz, LtEta, alpha1, alpha2, x0)
+        pz, peta, plz, plt, k, _, hist = carry
+        pz, peta, plz, plt, err, derr = _cp_iteration_packed(
+            sp, packers, pz, peta, plz, plt, alpha1, alpha2, x0)
         hist = hist.at[k].set(jnp.concatenate([err, derr]))
         if log_every is not None:
             jax.lax.cond(
                 k % log_every == 0,
                 lambda: jax.debug.callback(_log_residuals, k, err),
                 lambda: None)
-        return z, eta, Lz, LtEta, k + 1, err, hist
+        return pz, peta, plz, plt, k + 1, err, hist
 
     def cond(carry):
         _, _, _, _, k, err, _ = carry
@@ -179,9 +207,9 @@ def _run_cp(sp: StackedProblem, z0, eta0, x0, alpha1, alpha2, tol,
             k == 0,
             jnp.logical_and(jnp.max(err) > tol, k < max_iters + 1))
 
-    z, eta, _, _, iters, err, hist = jax.lax.while_loop(
-        cond, body, (z0, eta0, Lz, LtEta, 0, err, hist))
-    return z, eta, iters, err, hist
+    pz, peta, _, _, iters, err, hist = jax.lax.while_loop(
+        cond, body, (pz0, peta0, plz, plt, 0, err, hist))
+    return unpack_p(pz), unpack_d(peta), iters, err, hist
 
 
 class Solver:
