@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""Scale benchmark: CP iterations/s on a ~10^5-node scenario-tree RAOCP
+(BASELINE target: >=5x iterations/s vs the CPU reference at 10^5 nodes).
+
+Config: 50-state / 20-input network, 3-mode chain, 10 stages fully branched
+(88573 nodes), AVaR(0.95), box constraints, float32, device-offline build.
+Prints one JSON line like bench.py.
+"""
+
+import json
+import time
+
+BENCH_ITERS = 100
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_raocp_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from raocp_tpu.models import random_network_problem
+    from raocp_tpu.solver import Solver, _power_iteration, _run_cp
+
+    t0 = time.perf_counter()
+    problem, x0 = random_network_problem(
+        num_states=50, num_inputs=20, num_modes=3, num_stages=10,
+        stopping_time=10)
+    solver = Solver(problem, dtype=jnp.float32, offline="device")
+    sp = solver.stacked
+    jax.block_until_ready(sp.P)
+    build_s = time.perf_counter() - t0
+
+    lam, _ = _power_iteration(sp)
+    alpha = jnp.asarray(0.999 / float(lam), sp.dtype)
+    x0j = jnp.asarray(x0, sp.dtype)
+    tol0 = jnp.asarray(0.0, sp.dtype)
+    z0 = sp.zero_primal(xp=np)
+    z0.x[0] = np.asarray(x0, dtype=z0.x.dtype)
+    eta0 = sp.zero_dual(xp=np)
+
+    out = _run_cp(sp, z0, eta0, x0j, alpha, alpha, tol0, BENCH_ITERS)
+    jax.block_until_ready(out)
+    tic = time.perf_counter()
+    out = _run_cp(sp, z0, eta0, x0j, alpha, alpha, tol0, BENCH_ITERS)
+    jax.block_until_ready(out)
+    toc = time.perf_counter()
+
+    iters = int(out[2])
+    ips = iters / (toc - tic)
+    print(json.dumps({
+        "metric": "cp_iterations_per_s_88573node_50state_tree",
+        "value": round(ips, 3),
+        "unit": "iter/s",
+        "build_seconds": round(build_s, 1),
+        "num_nodes": sp.num_nodes,
+    }))
+
+
+if __name__ == "__main__":
+    main()
