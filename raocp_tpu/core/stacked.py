@@ -24,7 +24,7 @@ Padded layouts (d = max branching, Y = 2d+1, D = 4d+1):
 """
 
 import dataclasses
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -51,6 +51,11 @@ class StackedProblem:
     d_max: int = dataclasses.field(metadata=dict(static=True))
     num_stages: int = dataclasses.field(metadata=dict(static=True))
     stage_start: Tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
+    # per nonleaf stage: the uniform child count, or None when branching is
+    # ragged within that stage. Uniform stages (dense transition matrices)
+    # take gather-free reshape/repeat paths in the operators and sweeps.
+    stage_child: Tuple[Optional[int], ...] = dataclasses.field(
+        metadata=dict(static=True))
     # padded row counts of the three node spaces (>= the real counts; ghost
     # rows are engineered to stay zero through every op, so arrays can be
     # sharded evenly over a device mesh)
@@ -474,6 +479,15 @@ def build_stacked(spec: RAOCP, dtype=None,
         return jnp.asarray(x, dtype=dt)
 
     stage_start = tuple(int(v) for v in tree.stage_start)
+    # uniform child count per nonleaf stage (None where ragged)
+    cc = tree.child_count
+    stage_child = []
+    for k in range(tree.num_stages - 1):
+        a, b = stage_start[k], stage_start[k + 1]
+        counts = cc[a:b]
+        stage_child.append(int(counts[0]) if len(counts) and
+                           (counts == counts[0]).all() else None)
+    stage_child = tuple(stage_child)
     anc_dev = dev(_pad0(anc, NP_), jnp.int32)
     child_idx_dev = dev(_pad0(tree.children_padded, NLP), jnp.int32)
     child_mask_dev = dev(_pad0(tree.children_mask.astype(np.float64), NLP))
@@ -502,6 +516,7 @@ def build_stacked(spec: RAOCP, dtype=None,
         n=n, m=m, num_nodes=N, num_nonleaf=NL, num_leaf=LF,
         d_max=d, num_stages=tree.num_stages,
         stage_start=stage_start,
+        stage_child=stage_child,
         np_pad=NP_, nl_pad=NLP, lf_pad=LFP,
         anc=anc_dev,
         child_idx=child_idx_dev,

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 from raocp_tpu.core.stacked import StackedProblem
 from raocp_tpu.core.variables import Primal, Dual
 
-__all__ = ["ell", "ell_t", "sum_over_children", "repad"]
+__all__ = ["ell", "ell_t", "sum_over_children", "parent_expand", "repad"]
 
 
 def repad(arr, rows: int):
@@ -38,18 +38,60 @@ def repad(arr, rows: int):
 
 def sum_over_children(sp: StackedProblem, w):
     """[num_nodes, ...] child-indexed values -> [num_nonleaf, ...] sums over
-    each node's children, via the padded child table (gather + masked sum)."""
-    gathered = w[sp.child_idx]                       # [NL, d_max, ...]
-    mask = sp.child_mask
-    mask = mask.reshape(mask.shape + (1,) * (gathered.ndim - mask.ndim))
-    return jnp.sum(gathered * mask, axis=1)
+    each node's children.
+
+    Stage-wise: a stage with uniform branching ``c`` (dense transition
+    matrices — stage-major ordering makes each parent's children contiguous)
+    reduces with a gather-free reshape ``[W, c, ...] -> sum(axis=1)``;
+    ragged stages fall back to the padded child table (gather + masked
+    sum)."""
+    ss = sp.stage_start
+    parts = []
+    for k in range(sp.num_stages - 1):
+        a, b = ss[k], ss[k + 1]
+        a2, b2 = ss[k + 1], ss[k + 2]
+        wk = w[a2:b2]
+        c = sp.stage_child[k]
+        if c is not None:
+            parts.append(wk.reshape((b - a, c) + wk.shape[1:]).sum(axis=1))
+        else:
+            rel = jnp.clip(sp.child_idx[a:b] - a2, 0, b2 - a2 - 1)
+            mask = sp.child_mask[a:b]
+            mask = mask.reshape(mask.shape + (1,) * (wk.ndim - 1))
+            parts.append(jnp.sum(wk[rel] * mask, axis=1))
+    tail = sp.nl_pad - sp.num_nonleaf
+    if tail:
+        parts.append(jnp.zeros((tail,) + w.shape[1:], w.dtype))
+    return jnp.concatenate(parts, axis=0)
+
+
+def parent_expand(sp: StackedProblem, v, rows: int):
+    """[nonleaf-or-node rows, ...] -> [rows, ...] with out[j] = v[anc(j)]
+    for real non-root nodes j, zero at row 0 and padding.
+
+    Uniform stages use ``repeat`` (a broadcast — no random access); ragged
+    stages gather the stage slice."""
+    ss = sp.stage_start
+    parts = [jnp.zeros((1,) + v.shape[1:], v.dtype)]
+    for k in range(sp.num_stages - 1):
+        a, b = ss[k], ss[k + 1]
+        a2, b2 = ss[k + 1], ss[k + 2]
+        c = sp.stage_child[k]
+        if c is not None:
+            parts.append(jnp.repeat(v[a:b], c, axis=0))
+        else:
+            parts.append(v[sp.anc[a2:b2]])
+    tail = rows - ss[sp.num_stages]
+    if tail:
+        parts.append(jnp.zeros((tail,) + v.shape[1:], v.dtype))
+    return jnp.concatenate(parts, axis=0)
 
 
 def ell(sp: StackedProblem, z: Primal) -> Dual:
     """Apply L: primal -> dual (parity: reference ``operators.py:19-53``)."""
     NL, N = sp.num_nonleaf, sp.num_nodes
-    x_parent = z.x[sp.anc]                           # [N, n] (row 0 unused)
-    u_parent = z.u[sp.anc]                           # [N, m]
+    x_parent = parent_expand(sp, z.x, sp.np_pad)     # [N, n] (row 0 zero)
+    u_parent = parent_expand(sp, z.u, sp.np_pad)     # [N, m]
 
     e1 = z.y
     e2 = repad(z.s[:NL], sp.nl_pad) - jnp.sum(sp.b_pad * z.y, axis=1)

@@ -58,16 +58,24 @@ def project_dynamics(sp: StackedProblem, x_in, u_in, x0):
         a, b = ss[k], ss[k + 1]        # nonleaf nodes of stage k
         a2, b2 = ss[k + 1], ss[k + 2]  # their children
         qc = q[a2:b2]
-        rel = jnp.clip(sp.child_idx[a:b] - a2, 0, b2 - a2 - 1)
-        mask = sp.child_mask[a:b][..., None]
         Am_c = sp.Am.slice_rows(a2, b2)
         Bm_c = sp.Bm.slice_rows(a2, b2)
+        c = sp.stage_child[k]
+        if c is not None:              # uniform branching: gather-free
+            def segsum(w, c=c, W=b - a):
+                return w.reshape((W, c) + w.shape[1:]).sum(axis=1)
+        else:
+            rel = jnp.clip(sp.child_idx[a:b] - a2, 0, b2 - a2 - 1)
+            mask = sp.child_mask[a:b][..., None]
+
+            def segsum(w, rel=rel, mask=mask):
+                return jnp.sum(w[rel] * mask, axis=1)
 
         Btq = Bm_c.rmatvec(qc)                                # B_j'q_j
-        sum_btq = jnp.sum(Btq[rel] * mask, axis=1)            # [W, m]
+        sum_btq = segsum(Btq)                                 # [W, m]
         d_k = jnp.einsum("iab,ib->ia", sp.Rinv[a:b], u_in[a:b] - sum_btq)
 
-        sum_atq = jnp.sum(Am_c.rmatvec(qc)[rel] * mask, axis=1)  # [W, n]
+        sum_atq = segsum(Am_c.rmatvec(qc))                    # [W, n]
         # sum_j Abar_j'q_j = sum_atq + K_i' sum_btq, fused into the K' term
         q_k = (-x_in[a:b]
                + jnp.einsum("iab,ia->ib", sp.K[a:b],
@@ -84,12 +92,62 @@ def project_dynamics(sp: StackedProblem, x_in, u_in, x0):
         a2, b2 = ss[k + 1], ss[k + 2]
         u_k = jnp.einsum("iab,ib->ia", sp.K[a:b], x[a:b]) + d[a:b]
         u = _set_rows(u, a, b, u_k)
-        anc_c = sp.anc[a2:b2]
+        c = sp.stage_child[k]
+        if c is not None:              # uniform: parents repeat, no gather
+            x_par = jnp.repeat(x[a:b], c, axis=0)
+            u_par = jnp.repeat(u_k, c, axis=0)
+        else:
+            anc_c = sp.anc[a2:b2]
+            x_par = x[anc_c]
+            u_par = u[anc_c]
         # x_j = Abar_j x_i + B_j d_i = A_j x_i + B_j u_i
-        x_c = (sp.Am.slice_rows(a2, b2).matvec(x[anc_c])
-               + sp.Bm.slice_rows(a2, b2).matvec(u[anc_c]))
+        x_c = (sp.Am.slice_rows(a2, b2).matvec(x_par)
+               + sp.Bm.slice_rows(a2, b2).matvec(u_par))
         x = _set_rows(x, a2, b2, x_c)
     return x, u
+
+
+def _gather_child_slots(sp: StackedProblem, v):
+    """[np_pad] node values -> [nl_pad, d_max] per-parent child-slot table
+    (zero-padded slots). Uniform stages reshape; ragged stages gather."""
+    ss = sp.stage_start
+    d = sp.d_max
+    parts = []
+    for k in range(sp.num_stages - 1):
+        a, b = ss[k], ss[k + 1]
+        a2, b2 = ss[k + 1], ss[k + 2]
+        c = sp.stage_child[k]
+        if c is not None:
+            blk = v[a2:b2].reshape(b - a, c)
+            if c < d:
+                blk = jnp.concatenate(
+                    [blk, jnp.zeros((b - a, d - c), v.dtype)], axis=1)
+            parts.append(blk)
+        else:
+            parts.append(v[sp.child_idx[a:b]] * sp.child_mask[a:b])
+    tail = sp.nl_pad - sp.num_nonleaf
+    if tail:
+        parts.append(jnp.zeros((tail, d), v.dtype))
+    return jnp.concatenate(parts, axis=0)
+
+
+def _scatter_parent_slots(sp: StackedProblem, w, orig):
+    """[nl_pad, d_max] per-parent slot table -> [np_pad] node values: node j
+    reads slot child_rank[j] of its parent; root/padding keep ``orig``."""
+    ss = sp.stage_start
+    parts = [orig[:1]]
+    for k in range(sp.num_stages - 1):
+        a, b = ss[k], ss[k + 1]
+        a2, b2 = ss[k + 1], ss[k + 2]
+        c = sp.stage_child[k]
+        if c is not None:
+            parts.append(w[a:b, :c].reshape(-1))
+        else:
+            parts.append(w[sp.anc[a2:b2], sp.child_rank[a2:b2]])
+    tail = sp.np_pad - ss[sp.num_stages]
+    if tail:
+        parts.append(orig[ss[sp.num_stages]:])
+    return jnp.concatenate(parts, axis=0)
 
 
 def project_kernel(sp: StackedProblem, y, tau, s):
@@ -98,20 +156,14 @@ def project_kernel(sp: StackedProblem, y, tau, s):
     per-iteration lstsq replaced by the precomputed orthogonal projector)."""
     Y = sp.Y
     d = sp.d_max
-    tau_c = tau[sp.child_idx] * sp.child_mask      # [NL, d]
-    s_c = s[sp.child_idx] * sp.child_mask
+    tau_c = _gather_child_slots(sp, tau)           # [NL, d]
+    s_c = _gather_child_slots(sp, s)
     v = jnp.concatenate([y, tau_c, s_c], axis=1)   # [NL, D]
     w = jnp.einsum("iab,ib->ia", sp.Pi, v)
 
     y_new = w[:, :Y]
-    w_tau = w[:, Y:Y + d]
-    w_s = w[:, Y + d:]
-    # scatter back: node j (>=1) reads slot child_rank[j] of its parent
-    tau_upd = w_tau[sp.anc, sp.child_rank]
-    s_upd = w_s[sp.anc, sp.child_rank]
-    nz = sp.nz_mask > 0
-    tau_new = jnp.where(nz, tau_upd, tau)
-    s_new = jnp.where(nz, s_upd, s)
+    tau_new = _scatter_parent_slots(sp, w[:, Y:Y + d], tau)
+    s_new = _scatter_parent_slots(sp, w[:, Y + d:], s)
     return y_new, tau_new, s_new
 
 
