@@ -252,9 +252,11 @@ class Solver:
         :param profile_dir: if set, wrap the solve in a ``jax.profiler``
             trace written to this directory
         :param accel: ``None`` (plain CP, iteration-for-iteration identical
-            to the reference) or ``"anderson"`` (safeguarded Anderson
-            acceleration of the fixed point — see :mod:`raocp_tpu.accel`)
-        :param accel_memory: Anderson history depth
+            to the reference), ``"anderson"`` (safeguarded Anderson
+            acceleration of the fixed point), or ``"supermann"`` /
+            ``"lbfgs"`` (SuperMann-style globalisation with L-BFGS
+            directions) — see :mod:`raocp_tpu.accel`
+        :param accel_memory: Anderson / L-BFGS history depth
         """
         sp = self.__stacked
         x0_np = np.asarray(initial_state, dtype=np.float64).reshape(-1)
@@ -290,6 +292,14 @@ class Solver:
             elif accel == "anderson":
                 from raocp_tpu.accel import run_cp_anderson
                 z, eta, iters, _evals, err, hist3 = run_cp_anderson(
+                    sp, z0, eta0, x0, jnp.asarray(alpha, sp.dtype),
+                    jnp.asarray(tol, sp.dtype), max_iters,
+                    memory=accel_memory)
+                hist = jnp.concatenate(
+                    [hist3, jnp.zeros_like(hist3)], axis=1)
+            elif accel in ("supermann", "lbfgs"):
+                from raocp_tpu.accel import run_cp_supermann
+                z, eta, iters, _evals, err, hist3 = run_cp_supermann(
                     sp, z0, eta0, x0, jnp.asarray(alpha, sp.dtype),
                     jnp.asarray(tol, sp.dtype), max_iters,
                     memory=accel_memory)

@@ -123,3 +123,22 @@ def test_anderson_acceleration_converges_faster():
     # same fixed point up to tolerance
     dx = np.abs(np.asarray(plain.primal.x) - np.asarray(acc.primal.x)).max()
     assert dx < 1e-2
+
+
+def test_supermann_acceleration_converges_faster():
+    """SuperMann globalisation with limited-memory Broyden directions
+    (BASELINE config 4's 'SuperMann/L-BFGS accelerated iterations'):
+    converges to the same solution in fewer iterations, and its safeguard
+    keeps the solution feasible."""
+    from raocp_tpu.models import demo_problem
+
+    problem, x0 = demo_problem()
+    solver = Solver(problem)
+    plain = solver.solve(x0, max_iters=2000, tol=1e-3)
+    acc = solver.solve(x0, max_iters=2000, tol=1e-3, accel="supermann")
+    assert acc.status == 0
+    assert acc.num_iters < plain.num_iters
+    dx = np.abs(np.asarray(plain.primal.x) - np.asarray(acc.primal.x)).max()
+    assert dx < 1e-2
+    v = solver.validate(acc)
+    assert v["dynamics"] < 1e-8 and v["kernel"] < 1e-8
