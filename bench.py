@@ -57,12 +57,20 @@ def main() -> None:
     z0.x[0] = np.asarray(x0, dtype=z0.x.dtype)
     eta0 = sp.zero_dual(xp=np)
 
+    # production configuration: convergence residuals evaluated every 25
+    # iterations (SCS-style periodic checks) — between checks an iteration
+    # is two operator applies; the reference evaluates its stopping test
+    # (five applies) every iteration
+    CHECK_EVERY = 25
+
     # compile + warm-up
-    out = _run_cp(sp, z0, eta0, x0j, alpha, alpha, tol0, BENCH_ITERS)
+    out = _run_cp(sp, z0, eta0, x0j, alpha, alpha, tol0, BENCH_ITERS,
+                  check_every=CHECK_EVERY)
     jax.block_until_ready(out)
 
     tic = time.perf_counter()
-    out = _run_cp(sp, z0, eta0, x0j, alpha, alpha, tol0, BENCH_ITERS)
+    out = _run_cp(sp, z0, eta0, x0j, alpha, alpha, tol0, BENCH_ITERS,
+                  check_every=CHECK_EVERY)
     jax.block_until_ready(out)
     toc = time.perf_counter()
 

@@ -69,6 +69,7 @@ def main():
     pz, peta = pack_p(z), pack_d(eta)
     alpha = jnp.asarray(0.01, sp.dtype)
 
+    t_noop = _time(lambda v: (v,), pz)
     t_ell = _time(lambda z: (ell(sp, z),), z)
     t_ellt = _time(lambda e: (ell_t(sp, e),), eta)
     t_dyn = _time(lambda x, u: project_dynamics(sp, x, u, x0j), z.x, z.u)
@@ -85,6 +86,7 @@ def main():
     t_full = _time(full, pz, peta, pack_d(ell(sp, z)),
                    pack_p(ell_t(sp, eta)))
 
+    print(f"noop (loop+dep)     {t_noop:8.1f} us")
     print(f"L apply             {t_ell:8.1f} us")
     print(f"L' apply            {t_ellt:8.1f} us")
     print(f"dynamics projection {t_dyn:8.1f} us")

@@ -125,6 +125,25 @@ def test_anderson_acceleration_converges_faster():
     assert dx < 1e-2
 
 
+def test_periodic_convergence_checks():
+    """check_every=k: same iterate sequence, stopping test evaluated only
+    every k-th step — converges at a multiple of k, not before the plain
+    stopping iteration, to an equally feasible point."""
+    from raocp_tpu.models import demo_problem
+
+    problem, x0 = demo_problem()
+    solver = Solver(problem)
+    plain = solver.solve(x0, max_iters=2000, tol=1e-3)
+    strided = solver.solve(x0, max_iters=2000, tol=1e-3, check_every=5)
+    assert strided.status == 0
+    assert strided.num_iters % 5 == 0
+    assert strided.num_iters >= plain.num_iters
+    assert float(strided.xi.max()) <= 1e-3
+    dx = np.abs(np.asarray(plain.primal.x)
+                - np.asarray(strided.primal.x)).max()
+    assert dx < 1e-2
+
+
 def test_supermann_acceleration_converges_faster():
     """SuperMann globalisation with limited-memory Broyden directions
     (BASELINE config 4's 'SuperMann/L-BFGS accelerated iterations'):
