@@ -76,8 +76,14 @@ class StackedProblem:
     B: jax.Array            # [num_nodes, n, m]; row 0 zero
     Am: ModalMatrix         # mode-grouped A (mode 0 = zero; root/pad rows)
     Bm: ModalMatrix         # mode-grouped B
+    ABm: ModalMatrix        # mode-grouped [A | B] ([M, n, n+m]) — one fused
+                            # matvec/rmatvec where A and B act on the same
+                            # node (DP sweeps): halves the op count
     sqrtQ: ModalMatrix      # [num_nodes, n, n]; row 0 zero (mode-grouped)
     sqrtR: ModalMatrix      # [num_nodes, m, m]; row 0 zero (mode-grouped)
+    # mode-grouped blockdiag(sqrtQ, sqrtR) ([M, n+m, n+m]) for the fused
+    # [x; u] paths of L/L'; None when the joint mode count is too large
+    QRm: Optional[ModalMatrix]
     sqrtP: ModalMatrix      # [num_leaf, n, n] (mode-grouped)
     b_pad: jax.Array        # [num_nonleaf, Y] risk vector b (padded layout)
     y_mask: jax.Array       # [num_nonleaf, Y] 1.0 on real y coordinates
@@ -329,6 +335,34 @@ def _offline_kernel_projectors(spec: RAOCP, d_max: int) -> np.ndarray:
     return Pi
 
 
+def _fuse_block_diag(mq: ModalMatrix, mr: ModalMatrix,
+                     dtype) -> Optional[ModalMatrix]:
+    """Mode-grouped blockdiag(Q_j, R_j) from two mode-grouped stacks over
+    the same node space. Joint modes come from unique (q, r) index pairs;
+    returns None when either stack is dense or the joint mode count exceeds
+    the modal limit (callers then use the unfused pair)."""
+    from raocp_tpu.core.modal import MODAL_MAX_MODES
+
+    if mq.modes is None or mr.modes is None:
+        return None
+    qi = np.asarray(mq.idx, dtype=np.int64)
+    ri = np.asarray(mr.idx, dtype=np.int64)
+    pairs = qi * mr.modes.shape[0] + ri
+    uniq, inv = np.unique(pairs, return_inverse=True)
+    if len(uniq) > MODAL_MAX_MODES:
+        return None
+    qm = np.asarray(mq.modes, dtype=np.float64)
+    rm = np.asarray(mr.modes, dtype=np.float64)
+    nq, nr = qm.shape[1], rm.shape[1]
+    modes = np.zeros((len(uniq), nq + nr, nq + nr))
+    for t, p in enumerate(uniq):
+        a, b = divmod(int(p), rm.shape[0])
+        modes[t, :nq, :nq] = qm[a]
+        modes[t, nq:, nq:] = rm[b]
+    return ModalMatrix(dense_m=None, modes=jnp.asarray(modes, dtype),
+                       idx=jnp.asarray(inv.astype(np.int32)))
+
+
 def _pad0(arr: np.ndarray, rows: int, fill: float = 0.0) -> np.ndarray:
     """Pad axis 0 of a numpy array to ``rows`` with ``fill``."""
     extra = rows - arr.shape[0]
@@ -496,6 +530,10 @@ def build_stacked(spec: RAOCP, dtype=None,
     idx_dev = dev(_pad0(w_idx, NP_), jnp.int32)      # pad rows -> zero mode
     Am = ModalMatrix(dense_m=None, modes=dev(modes_a), idx=idx_dev)
     Bm = ModalMatrix(dense_m=None, modes=dev(modes_b), idx=idx_dev)
+    ABm = ModalMatrix(dense_m=None,
+                      modes=dev(np.concatenate([modes_a, modes_b], axis=2)),
+                      idx=idx_dev)
+    QRm = _fuse_block_diag(sqrtQ_m, sqrtR_m, dtype)
 
     if offline == "device":
         @jax.jit
@@ -524,8 +562,8 @@ def build_stacked(spec: RAOCP, dtype=None,
         child_rank=dev(_pad0(tree.child_rank, NP_), jnp.int32),
         nz_mask=dev(_pad0(nz_mask, NP_)),
         zero_slot=jnp.asarray(zero_slot),
-        A=A_dev, B=B_dev, Am=Am, Bm=Bm,
-        sqrtQ=sqrtQ_m, sqrtR=sqrtR_m, sqrtP=sqrtP_m,
+        A=A_dev, B=B_dev, Am=Am, Bm=Bm, ABm=ABm,
+        sqrtQ=sqrtQ_m, sqrtR=sqrtR_m, QRm=QRm, sqrtP=sqrtP_m,
         b_pad=dev(_pad0(b_pad, NLP)), y_mask=dev(_pad0(y_mask, NLP)),
         nl_lo=dev(_pad0(nl_lo, NLP, -np.inf)),
         nl_hi=dev(_pad0(nl_hi, NLP, np.inf)),

@@ -89,17 +89,21 @@ def parent_expand(sp: StackedProblem, v, rows: int):
 
 def ell(sp: StackedProblem, z: Primal) -> Dual:
     """Apply L: primal -> dual (parity: reference ``operators.py:19-53``)."""
-    NL, N = sp.num_nonleaf, sp.num_nodes
-    x_parent = parent_expand(sp, z.x, sp.np_pad)     # [N, n] (row 0 zero)
-    u_parent = parent_expand(sp, z.u, sp.np_pad)     # [N, m]
-
+    NL, N, n = sp.num_nonleaf, sp.num_nodes, sp.n
+    # one fused [x; u] per nonleaf node feeds the parent-expand, the
+    # blockdiag(sqrtQ, sqrtR) matvec, AND the constraint rows e7
+    xu = jnp.concatenate([repad(z.x[:NL], sp.nl_pad), z.u], axis=1)
     e1 = z.y
     e2 = repad(z.s[:NL], sp.nl_pad) - jnp.sum(sp.b_pad * z.y, axis=1)
-    e3 = sp.sqrtQ.matvec(x_parent)
-    e4 = sp.sqrtR.matvec(u_parent)
+    if sp.QRm is not None:
+        xu_parent = parent_expand(sp, xu, sp.np_pad)   # [N, n+m] (row 0 = 0)
+        e34 = sp.QRm.matvec(xu_parent)
+        e3, e4 = e34[:, :n], e34[:, n:]
+    else:
+        e3 = sp.sqrtQ.matvec(parent_expand(sp, z.x, sp.np_pad))
+        e4 = sp.sqrtR.matvec(parent_expand(sp, z.u, sp.np_pad))
     half_tau = 0.5 * z.tau * sp.nz_mask
-    e7 = (jnp.concatenate([repad(z.x[:NL], sp.nl_pad), z.u], axis=1)
-          * sp.nl_active[:, None])
+    e7 = xu * sp.nl_active[:, None]
 
     x_leaf = repad(z.x[NL:N], sp.lf_pad)
     e11 = sp.sqrtP.matvec(x_leaf)
@@ -118,11 +122,20 @@ def ell_t(sp: StackedProblem, eta: Dual) -> Primal:
 
     y = eta.e1 - sp.b_pad * eta.e2[:, None]
 
-    # x/u contributions from the SOC heads, summed back over children
-    w3 = sp.sqrtQ.rmatvec(eta.e3)                    # sqrtQ' e3 per child
-    w4 = sp.sqrtR.rmatvec(eta.e4)
-    x_nl = eta.e7[:, :n] * sp.nl_active[:, None] + sum_over_children(sp, w3)
-    u = eta.e7[:, n:] * sp.nl_active[:, None] + sum_over_children(sp, w4)
+    # x/u contributions from the SOC heads, summed back over children —
+    # fused: one blockdiag rmatvec + one child reduction over [N, n+m]
+    if sp.QRm is not None:
+        w34 = sp.QRm.rmatvec(jnp.concatenate([eta.e3, eta.e4], axis=1))
+        s34 = sum_over_children(sp, w34)
+        xu = eta.e7 * sp.nl_active[:, None] + s34
+        x_nl, u = xu[:, :n], xu[:, n:]
+    else:
+        w3 = sp.sqrtQ.rmatvec(eta.e3)                # sqrtQ' e3 per child
+        w4 = sp.sqrtR.rmatvec(eta.e4)
+        x_nl = (eta.e7[:, :n] * sp.nl_active[:, None]
+                + sum_over_children(sp, w3))
+        u = (eta.e7[:, n:] * sp.nl_active[:, None]
+             + sum_over_children(sp, w4))
 
     x_leaf = (sp.sqrtP.rmatvec(eta.e11)
               + eta.e14 * sp.l_active[:, None])

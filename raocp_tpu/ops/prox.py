@@ -44,22 +44,23 @@ def project_dynamics(sp: StackedProblem, x_in, u_in, x0):
     """
     ss = sp.stage_start
     N, NL, n, m = sp.num_nodes, sp.num_nonleaf, sp.n, sp.m
+    ns = sp.num_stages
 
-    q = jnp.concatenate([jnp.zeros((NL, n), sp.dtype), -x_in[NL:N],
-                         jnp.zeros((sp.np_pad - N, n), sp.dtype)])
-    d = jnp.zeros((sp.nl_pad, m), sp.dtype)
-
+    # Per-stage slices, assembled ONCE at the end: a sweep step reads only
+    # the previous stage's slice, so carrying full [np_pad, ...] buffers
+    # through _set_rows would copy the whole buffer every stage for nothing.
     # The closed-loop matrices Abar_j = A_j + B_j K_i never appear as a
     # dense [N, n, n] stack here: with Abar_j'q = A_j'q + K_i'(B_j'q) and
     # Abar_j x + B_j d = A_j x + B_j u, every sweep step reads only the
     # per-mode dynamics tables (KBs) plus the [NL, m, n] gains — ~7x less
     # HBM traffic than materialised closed-loop stacks at 50 states.
-    for k in range(sp.num_stages - 2, -1, -1):
+    q_stage = [None] * ns              # q over the stage's node slice
+    q_stage[ns - 1] = -x_in[ss[ns - 1]:N]
+    d_stage = [None] * (ns - 1)
+    for k in range(ns - 2, -1, -1):
         a, b = ss[k], ss[k + 1]        # nonleaf nodes of stage k
         a2, b2 = ss[k + 1], ss[k + 2]  # their children
-        qc = q[a2:b2]
-        Am_c = sp.Am.slice_rows(a2, b2)
-        Bm_c = sp.Bm.slice_rows(a2, b2)
+        qc = q_stage[k + 1]
         c = sp.stage_child[k]
         if c is not None:              # uniform branching: gather-free
             def segsum(w, c=c, W=b - a):
@@ -71,39 +72,44 @@ def project_dynamics(sp: StackedProblem, x_in, u_in, x0):
             def segsum(w, rel=rel, mask=mask):
                 return jnp.sum(w[rel] * mask, axis=1)
 
-        Btq = Bm_c.rmatvec(qc)                                # B_j'q_j
-        sum_btq = segsum(Btq)                                 # [W, m]
+        # fused [A | B]'q: one mode-grouped rmatvec + ONE child reduction
+        # gives both sum_j A_j'q_j and sum_j B_j'q_j
+        abtq = segsum(sp.ABm.slice_rows(a2, b2).rmatvec(qc))  # [W, n+m]
+        sum_atq, sum_btq = abtq[:, :n], abtq[:, n:]
         d_k = jnp.einsum("iab,ib->ia", sp.Rinv[a:b], u_in[a:b] - sum_btq)
 
-        sum_atq = segsum(Am_c.rmatvec(qc))                    # [W, n]
         # sum_j Abar_j'q_j = sum_atq + K_i' sum_btq, fused into the K' term
-        q_k = (-x_in[a:b]
-               + jnp.einsum("iab,ia->ib", sp.K[a:b],
-                            d_k - u_in[a:b] + sum_btq)
-               + jnp.einsum("iab,ib->ia", sp.sumAPB[a:b], d_k)
-               + sum_atq)
-        q = _set_rows(q, a, b, q_k)
-        d = _set_rows(d, a, b, d_k)
+        q_stage[k] = (-x_in[a:b]
+                      + jnp.einsum("iab,ia->ib", sp.K[a:b],
+                                   d_k - u_in[a:b] + sum_btq)
+                      + jnp.einsum("iab,ib->ia", sp.sumAPB[a:b], d_k)
+                      + sum_atq)
+        d_stage[k] = d_k
 
-    x = _set_rows(jnp.zeros((sp.np_pad, n), sp.dtype), 0, 1, x0[None, :])
-    u = jnp.zeros((sp.nl_pad, m), sp.dtype)
-    for k in range(sp.num_stages - 1):
+    x_stage = [None] * ns
+    u_stage = [None] * (ns - 1)
+    x_stage[0] = x0[None, :]
+    for k in range(ns - 1):
         a, b = ss[k], ss[k + 1]
         a2, b2 = ss[k + 1], ss[k + 2]
-        u_k = jnp.einsum("iab,ib->ia", sp.K[a:b], x[a:b]) + d[a:b]
-        u = _set_rows(u, a, b, u_k)
+        u_k = jnp.einsum("iab,ib->ia", sp.K[a:b], x_stage[k]) + d_stage[k]
+        u_stage[k] = u_k
+        xu_k = jnp.concatenate([x_stage[k], u_k], axis=1)     # [W, n+m]
         c = sp.stage_child[k]
         if c is not None:              # uniform: parents repeat, no gather
-            x_par = jnp.repeat(x[a:b], c, axis=0)
-            u_par = jnp.repeat(u_k, c, axis=0)
+            xu_par = jnp.repeat(xu_k, c, axis=0)
         else:
-            anc_c = sp.anc[a2:b2]
-            x_par = x[anc_c]
-            u_par = u[anc_c]
-        # x_j = Abar_j x_i + B_j d_i = A_j x_i + B_j u_i
-        x_c = (sp.Am.slice_rows(a2, b2).matvec(x_par)
-               + sp.Bm.slice_rows(a2, b2).matvec(u_par))
-        x = _set_rows(x, a2, b2, x_c)
+            xu_par = xu_k[sp.anc[a2:b2] - a]
+        # x_j = Abar_j x_i + B_j d_i = A_j x_i + B_j u_i — one fused
+        # [A | B] matvec on the stacked [x; u]
+        x_stage[k + 1] = sp.ABm.slice_rows(a2, b2).matvec(xu_par)
+
+    pad_x = sp.np_pad - N
+    pad_u = sp.nl_pad - NL
+    x = jnp.concatenate(
+        x_stage + ([jnp.zeros((pad_x, n), sp.dtype)] if pad_x else []))
+    u = jnp.concatenate(
+        u_stage + ([jnp.zeros((pad_u, m), sp.dtype)] if pad_u else []))
     return x, u
 
 

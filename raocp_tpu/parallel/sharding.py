@@ -42,7 +42,7 @@ _NODE_SHARDED_FIELDS = (
 )
 # mode-grouped matrix stacks: the small mode table is replicated, the
 # per-node mode index (or dense stack) is sharded
-_MODAL_FIELDS = ("sqrtQ", "sqrtR", "sqrtP", "Am", "Bm")
+_MODAL_FIELDS = ("sqrtQ", "sqrtR", "sqrtP", "Am", "Bm", "ABm", "QRm")
 _REPLICATED_FIELDS = ("zero_slot",)
 
 
@@ -75,6 +75,8 @@ def shard_problem(sp: StackedProblem, mesh: Mesh) -> StackedProblem:
         updates[name] = jax.device_put(arr, node_sharding(mesh, arr.ndim))
     for name in _MODAL_FIELDS:
         mm = getattr(sp, name)
+        if mm is None:                  # optional fused stacks (QRm)
+            continue
         updates[name] = dataclasses.replace(
             mm,
             dense_m=None if mm.dense_m is None else jax.device_put(
