@@ -62,15 +62,16 @@ def main() -> None:
     # is two operator applies; the reference evaluates its stopping test
     # (five applies) every iteration
     CHECK_EVERY = 25
+    UNROLL = 5      # CP steps per while-loop trip (amortises bookkeeping)
 
     # compile + warm-up
     out = _run_cp(sp, z0, eta0, x0j, alpha, alpha, tol0, BENCH_ITERS,
-                  check_every=CHECK_EVERY)
+                  check_every=CHECK_EVERY, unroll=UNROLL)
     jax.block_until_ready(out)
 
     tic = time.perf_counter()
     out = _run_cp(sp, z0, eta0, x0j, alpha, alpha, tol0, BENCH_ITERS,
-                  check_every=CHECK_EVERY)
+                  check_every=CHECK_EVERY, unroll=UNROLL)
     jax.block_until_ready(out)
     toc = time.perf_counter()
 

@@ -36,7 +36,8 @@ from jax.flatten_util import ravel_pytree
 
 from raocp_tpu.core.stacked import StackedProblem
 from raocp_tpu.ops.operator import ell, ell_t
-from raocp_tpu.solver import cp_iteration
+from raocp_tpu.solver import cp_iteration, \
+    _with_matmul_precision as _precision
 
 __all__ = ["run_cp_anderson", "run_cp_supermann"]
 
@@ -54,6 +55,7 @@ def _t_map(sp, unravel, w_flat, alpha, x0):
 
 
 @partial(jax.jit, static_argnames=("max_iters", "memory"))
+@_precision
 def run_cp_anderson(sp: StackedProblem, z0, eta0, x0, alpha, tol,
                     max_iters: int, memory: int = 5, theta: float = 0.9,
                     reg: float = 1e-10):
@@ -129,6 +131,7 @@ def _strip(state):
 
 
 @partial(jax.jit, static_argnames=("max_iters", "memory", "ls_max"))
+@_precision
 def run_cp_supermann(sp: StackedProblem, z0, eta0, x0, alpha, tol,
                      max_iters: int, memory: int = 10, ls_max: int = 1,
                      c0: float = 0.99, c1: float = 0.99, q_eps: float = 0.95,

@@ -293,8 +293,23 @@ def _riccati_device(A, B, child_idx, child_mask, anc, stage_start,
     return P, Rinv, K, Abar, sumAPB
 
 
+def _riccati_precision(fn):
+    # full-precision matmuls: TPU's default bfloat16 matmul precision is
+    # far too loose for the Riccati factorisation (see solver.py)
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        import os
+        prec = os.environ.get("RAOCP_TPU_MATMUL_PRECISION", "float32")
+        with jax.default_matmul_precision(prec):
+            return fn(*args, **kwargs)
+    return wrapper
+
+
 _riccati_device_jit = jax.jit(
-    _riccati_device, static_argnames=("stage_start", "num_nonleaf", "nl_pad"))
+    _riccati_precision(_riccati_device),
+    static_argnames=("stage_start", "num_nonleaf", "nl_pad"))
 
 
 def _offline_kernel_projectors(spec: RAOCP, d_max: int) -> np.ndarray:

@@ -18,8 +18,9 @@ Two structural improvements over the reference (same math, same iterates):
 """
 
 import dataclasses
+import os
 import time
-from functools import partial
+from functools import partial, wraps
 from typing import Optional
 
 import jax
@@ -77,11 +78,29 @@ class SolverResult:
         return primal, dual, int(data["num_iters"])
 
 
+# TPU matmuls default to bfloat16 multiplication, which stalls the CP
+# residuals around 1e-2 — the solver then cannot reach the reference's 1e-3
+# tolerance on real hardware (measured: 20-state SOC problem, f32, 8000
+# iterations, xi ~ 1e-2). Every solver program is therefore traced under
+# full-precision matmuls. Override (e.g. "bfloat16" for throughput
+# experiments at loose tolerances) via RAOCP_TPU_MATMUL_PRECISION.
+MATMUL_PRECISION = os.environ.get("RAOCP_TPU_MATMUL_PRECISION", "float32")
+
+
+def _with_matmul_precision(fn):
+    @wraps(fn)
+    def wrapper(*args, **kwargs):
+        with jax.default_matmul_precision(MATMUL_PRECISION):
+            return fn(*args, **kwargs)
+    return wrapper
+
+
 def _normalise(z, norm):
     return jax.tree_util.tree_map(lambda v: v / norm, z)
 
 
 @partial(jax.jit, static_argnames=("max_iters",))
+@_with_matmul_precision
 def _power_iteration(sp: StackedProblem, max_iters: int = 10000,
                      rel_tol: float = 1e-12):
     """lambda_max(L'L) by on-device power iteration on the primal space."""
@@ -171,6 +190,7 @@ def _cp_iteration_packed(sp: StackedProblem, packers, pz, peta, plz, plt,
     return pzn, pen, plzn, pltn, err, derr
 
 
+@_with_matmul_precision
 def cp_iteration(sp: StackedProblem, z, eta, Lz, LtEta, alpha1, alpha2, x0):
     """One full Chambolle-Pock step + residuals on primal/dual pytrees.
 
@@ -195,9 +215,12 @@ def _log_residuals(k, err):
           f"xi_2={float(err[2]):.3e}")
 
 
-@partial(jax.jit, static_argnames=("max_iters", "log_every", "check_every"))
+@partial(jax.jit, static_argnames=("max_iters", "log_every", "check_every",
+                                   "unroll"))
+@_with_matmul_precision
 def _run_cp(sp: StackedProblem, z0, eta0, x0, alpha1, alpha2, tol,
-            max_iters: int, log_every=None, check_every: int = 1):
+            max_iters: int, log_every=None, check_every: int = 1,
+            unroll: int = 1):
     """The full CP loop. Returns (z, eta, iters, final_errors, histories).
 
     ``check_every=k`` evaluates the xi residuals (and the stopping test)
@@ -206,8 +229,15 @@ def _run_cp(sp: StackedProblem, z0, eta0, x0, alpha1, alpha2, tol,
     reference's per-iteration stopping exactly (solver.py:124-161); larger
     strides are the production mode (SCS-style periodic checks) — the loop
     may then overshoot the first converged iterate by up to k-1 steps.
+
+    ``unroll=u`` runs u CP steps per ``while_loop`` trip, amortising the
+    loop-carry copies and stopping test over u iterations (u must divide
+    check_every, or be 1).
     """
     from raocp_tpu.core.variables import make_packers
+
+    if unroll > 1 and check_every % unroll != 0:
+        raise ValueError("unroll must divide check_every")
 
     packers = make_packers(sp)
     pack_p, unpack_p, pack_d, unpack_d = packers
@@ -215,33 +245,37 @@ def _run_cp(sp: StackedProblem, z0, eta0, x0, alpha1, alpha2, tol,
     peta0 = pack_d(Dual(*eta0))
     plz = pack_d(ell(sp, unpack_p(pz0)))
     plt = pack_p(ell_t(sp, unpack_d(peta0)))
-    hist = jnp.zeros((max_iters + 1, 6), sp.dtype)
+    # + unroll slack rows: k advances in steps of unroll and may overshoot
+    hist = jnp.zeros((max_iters + unroll, 6), sp.dtype)
     err = jnp.full((3,), jnp.inf, sp.dtype)
     derr = jnp.full((3,), jnp.inf, sp.dtype)
 
     def body(carry):
-        pz, peta, plz, plt, k, err_c, derr_c, hist = carry
-        pzn, pen, plzn, pltn = _cp_step_packed(
-            sp, packers, pz, peta, plz, plt, alpha1, alpha2, x0)
+        pz, peta, plz, plt, k, err, derr, hist = carry
+        for i in range(unroll):
+            pzn, pen, plzn, pltn = _cp_step_packed(
+                sp, packers, pz, peta, plz, plt, alpha1, alpha2, x0)
 
-        def fresh():
-            return _cp_residuals_packed(
-                sp, packers, pz, pzn, peta, pen, plz, plzn, plt, pltn,
-                alpha1, alpha2)
+            def fresh(pz=pz, pzn=pzn, peta=peta, pen=pen, plz=plz,
+                      plzn=plzn, plt=plt, pltn=pltn):
+                return _cp_residuals_packed(
+                    sp, packers, pz, pzn, peta, pen, plz, plzn, plt, pltn,
+                    alpha1, alpha2)
 
-        if check_every == 1:
-            err, derr = fresh()
-        else:
-            err, derr = jax.lax.cond(
-                (k + 1) % check_every == 0, fresh,
-                lambda: (err_c, derr_c))
-        hist = hist.at[k].set(jnp.concatenate([err, derr]))
-        if log_every is not None:
-            jax.lax.cond(
-                k % log_every == 0,
-                lambda: jax.debug.callback(_log_residuals, k, err),
-                lambda: None)
-        return pzn, pen, plzn, pltn, k + 1, err, derr, hist
+            if check_every == 1:
+                err, derr = fresh()
+            else:
+                err, derr = jax.lax.cond(
+                    (k + i + 1) % check_every == 0, fresh,
+                    lambda: (err, derr))
+            hist = hist.at[k + i].set(jnp.concatenate([err, derr]))
+            if log_every is not None:
+                jax.lax.cond(
+                    (k + i) % log_every == 0,
+                    lambda: jax.debug.callback(_log_residuals, k + i, err),
+                    lambda: None)
+            pz, peta, plz, plt = pzn, pen, plzn, pltn
+        return pz, peta, plz, plt, k + unroll, err, derr, hist
 
     def cond(carry):
         _, _, _, _, k, err, _, _ = carry
@@ -251,7 +285,7 @@ def _run_cp(sp: StackedProblem, z0, eta0, x0, alpha1, alpha2, tol,
 
     pz, peta, _, _, iters, err, _, hist = jax.lax.while_loop(
         cond, body, (pz0, peta0, plz, plt, 0, err, derr, hist))
-    return unpack_p(pz), unpack_d(peta), iters, err, hist
+    return unpack_p(pz), unpack_d(peta), iters, err, hist[:max_iters + 1]
 
 
 class Solver:
@@ -283,7 +317,8 @@ class Solver:
               profile_dir: Optional[str] = None,
               accel: Optional[str] = None,
               accel_memory: int = 5,
-              check_every: int = 1) -> SolverResult:
+              check_every: int = 1,
+              unroll: int = 1) -> SolverResult:
         """Run Chambolle-Pock with the given initial state.
 
         :param alpha: overrides the 0.999/lambda_max(L'L) step rule
@@ -306,6 +341,8 @@ class Solver:
             residual-only operator apply between checks — ~1/3 less work
             per iteration, at the price of overshooting convergence by up
             to k-1 iterations. Plain CP only (ignored under ``accel``).
+        :param unroll: CP steps per device-loop trip (must divide
+            ``check_every``); amortises loop bookkeeping. Plain CP only.
         """
         sp = self.__stacked
         x0_np = np.asarray(initial_state, dtype=np.float64).reshape(-1)
@@ -337,7 +374,7 @@ class Solver:
                 z, eta, iters, err, hist = _run_cp(
                     sp, z0, eta0, x0, jnp.asarray(alpha, sp.dtype),
                     jnp.asarray(alpha, sp.dtype), jnp.asarray(tol, sp.dtype),
-                    max_iters, log_every, check_every)
+                    max_iters, log_every, check_every, unroll)
             elif accel == "anderson":
                 from raocp_tpu.accel import run_cp_anderson
                 z, eta, iters, _evals, err, hist3 = run_cp_anderson(
