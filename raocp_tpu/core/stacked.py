@@ -98,6 +98,21 @@ class StackedProblem:
     l_ball_c: jax.Array     # [num_leaf, n]
     l_ball_r: jax.Array     # [num_leaf]
 
+    # -- stage-stacked mode blocks -------------------------------------------
+    # In a fully-branching Markov stage every parent's children carry the
+    # SAME mode sequence (child of sibling-rank r has mode pattern[r]), so
+    # the per-stage "modal matvec + mode select + child reduction" collapses
+    # into ONE dense matmul with a stacked mode-block matrix:
+    #   children-from-parents (matvec):  [W, F] @ [F, c*out]  -> [W*c, out]
+    #   sum-over-children (rmatvec):     [W, c*in] @ [c*in, out]
+    # One entry per nonleaf stage; None where the stage has no uniform mode
+    # pattern (ragged branching or post-stopping chains) — those stages use
+    # the gather/select paths.
+    ab_fwd: Tuple[Optional[jax.Array], ...]   # [F, c*n]   x_children
+    ab_bwd: Tuple[Optional[jax.Array], ...]   # [c*n, F]   sum A'q | B'q
+    qr_fwd: Tuple[Optional[jax.Array], ...]   # [F, c*F]   e3/e4 rows
+    qr_bwd: Tuple[Optional[jax.Array], ...]   # [c*F, F]   sum Q'e3 | R'e4
+
     # -- offline factorisations --------------------------------------------------
     P: jax.Array            # [num_nodes, n, n] Riccati-like matrices
     Rinv: jax.Array         # [num_nonleaf, m, m] (I + sum B'PB)^{-1}
@@ -378,6 +393,43 @@ def _fuse_block_diag(mq: ModalMatrix, mr: ModalMatrix,
                        idx=jnp.asarray(inv.astype(np.int32)))
 
 
+def _stage_mode_patterns(idx: np.ndarray, stage_start, stage_child):
+    """Per nonleaf stage: the child mode sequence (tuple of mode ids, length
+    c) when it is identical for every parent in the stage, else None."""
+    pats = []
+    for k in range(len(stage_child)):
+        c = stage_child[k]
+        a2, b2 = stage_start[k + 1], stage_start[k + 2]
+        if c is None:
+            pats.append(None)
+            continue
+        blk = idx[a2:b2].reshape(-1, c)
+        pats.append(tuple(int(v) for v in blk[0])
+                    if (blk == blk[0]).all() else None)
+    return tuple(pats)
+
+
+def _stacked_stage_weights(mm: Optional[ModalMatrix], patterns, dtype):
+    """(fwd, bwd) tuples of per-stage stacked mode blocks for a mode-grouped
+    matrix: fwd[k] = hstack_r(modes[p_r].T) maps parents to all children in
+    one matmul; bwd[k] = vstack_r(modes[p_r]) sums rmatvec over children."""
+    if mm is None or mm.modes is None:
+        none = tuple(None for _ in patterns)
+        return none, none
+    modes = np.asarray(mm.modes, dtype=np.float64)
+    fwd, bwd = [], []
+    for pat in patterns:
+        if pat is None:
+            fwd.append(None)
+            bwd.append(None)
+        else:
+            fwd.append(jnp.asarray(
+                np.concatenate([modes[p].T for p in pat], axis=1), dtype))
+            bwd.append(jnp.asarray(
+                np.concatenate([modes[p] for p in pat], axis=0), dtype))
+    return tuple(fwd), tuple(bwd)
+
+
 def _pad0(arr: np.ndarray, rows: int, fill: float = 0.0) -> np.ndarray:
     """Pad axis 0 of a numpy array to ``rows`` with ``fill``."""
     extra = rows - arr.shape[0]
@@ -550,6 +602,15 @@ def build_stacked(spec: RAOCP, dtype=None,
                       idx=idx_dev)
     QRm = _fuse_block_diag(sqrtQ_m, sqrtR_m, dtype)
 
+    ab_pat = _stage_mode_patterns(w_idx, stage_start, stage_child)
+    ab_fwd, ab_bwd = _stacked_stage_weights(ABm, ab_pat, dtype)
+    if QRm is not None:
+        qr_pat = _stage_mode_patterns(np.asarray(QRm.idx)[:N], stage_start,
+                                      stage_child)
+        qr_fwd, qr_bwd = _stacked_stage_weights(QRm, qr_pat, dtype)
+    else:
+        qr_fwd = qr_bwd = tuple(None for _ in stage_child)
+
     if offline == "device":
         @jax.jit
         def _expand(ma, mb, idx):
@@ -579,6 +640,7 @@ def build_stacked(spec: RAOCP, dtype=None,
         zero_slot=jnp.asarray(zero_slot),
         A=A_dev, B=B_dev, Am=Am, Bm=Bm, ABm=ABm,
         sqrtQ=sqrtQ_m, sqrtR=sqrtR_m, QRm=QRm, sqrtP=sqrtP_m,
+        ab_fwd=ab_fwd, ab_bwd=ab_bwd, qr_fwd=qr_fwd, qr_bwd=qr_bwd,
         b_pad=dev(_pad0(b_pad, NLP)), y_mask=dev(_pad0(y_mask, NLP)),
         nl_lo=dev(_pad0(nl_lo, NLP, -np.inf)),
         nl_hi=dev(_pad0(nl_hi, NLP, np.inf)),

@@ -95,7 +95,28 @@ def ell(sp: StackedProblem, z: Primal) -> Dual:
     xu = jnp.concatenate([repad(z.x[:NL], sp.nl_pad), z.u], axis=1)
     e1 = z.y
     e2 = repad(z.s[:NL], sp.nl_pad) - jnp.sum(sp.b_pad * z.y, axis=1)
-    if sp.QRm is not None:
+    if sp.QRm is not None and any(w is not None for w in sp.qr_fwd):
+        # per-stage stacked mode blocks: parent-expand + modal matvec +
+        # mode select per stage collapse to one dense matmul each
+        ss = sp.stage_start
+        F = sp.n + sp.m
+        parts = [jnp.zeros((1, F), sp.dtype)]              # root row
+        for k in range(sp.num_stages - 1):
+            a, b = ss[k], ss[k + 1]
+            a2, b2 = ss[k + 1], ss[k + 2]
+            if sp.qr_fwd[k] is not None:
+                parts.append((xu[a:b] @ sp.qr_fwd[k]).reshape(b2 - a2, F))
+            else:
+                c = sp.stage_child[k]
+                xu_par = (jnp.repeat(xu[a:b], c, axis=0) if c is not None
+                          else xu[a:b][sp.anc[a2:b2] - a])
+                parts.append(sp.QRm.slice_rows(a2, b2).matvec(xu_par))
+        tail = sp.np_pad - N
+        if tail:
+            parts.append(jnp.zeros((tail, F), sp.dtype))
+        e34 = jnp.concatenate(parts, axis=0)
+        e3, e4 = e34[:, :n], e34[:, n:]
+    elif sp.QRm is not None:
         xu_parent = parent_expand(sp, xu, sp.np_pad)   # [N, n+m] (row 0 = 0)
         e34 = sp.QRm.matvec(xu_parent)
         e3, e4 = e34[:, :n], e34[:, n:]
@@ -124,7 +145,36 @@ def ell_t(sp: StackedProblem, eta: Dual) -> Primal:
 
     # x/u contributions from the SOC heads, summed back over children —
     # fused: one blockdiag rmatvec + one child reduction over [N, n+m]
-    if sp.QRm is not None:
+    if sp.QRm is not None and any(w is not None for w in sp.qr_bwd):
+        # per-stage stacked mode blocks: rmatvec + select + child-sum in
+        # one dense matmul per stage
+        ss = sp.stage_start
+        F = sp.n + sp.m
+        e34 = jnp.concatenate([eta.e3, eta.e4], axis=1)
+        parts = []
+        for k in range(sp.num_stages - 1):
+            a, b = ss[k], ss[k + 1]
+            a2, b2 = ss[k + 1], ss[k + 2]
+            blk = e34[a2:b2]
+            if sp.qr_bwd[k] is not None:
+                c = sp.stage_child[k]
+                parts.append(blk.reshape(b - a, c * F) @ sp.qr_bwd[k])
+            else:
+                w = sp.QRm.slice_rows(a2, b2).rmatvec(blk)
+                c = sp.stage_child[k]
+                if c is not None:
+                    parts.append(w.reshape(b - a, c, F).sum(axis=1))
+                else:
+                    rel = jnp.clip(sp.child_idx[a:b] - a2, 0, b2 - a2 - 1)
+                    mask = sp.child_mask[a:b][..., None]
+                    parts.append(jnp.sum(w[rel] * mask, axis=1))
+        tail = sp.nl_pad - NL
+        if tail:
+            parts.append(jnp.zeros((tail, F), sp.dtype))
+        s34 = jnp.concatenate(parts, axis=0)
+        xu = eta.e7 * sp.nl_active[:, None] + s34
+        x_nl, u = xu[:, :n], xu[:, n:]
+    elif sp.QRm is not None:
         w34 = sp.QRm.rmatvec(jnp.concatenate([eta.e3, eta.e4], axis=1))
         s34 = sum_over_children(sp, w34)
         xu = eta.e7 * sp.nl_active[:, None] + s34

@@ -62,19 +62,24 @@ def project_dynamics(sp: StackedProblem, x_in, u_in, x0):
         a2, b2 = ss[k + 1], ss[k + 2]  # their children
         qc = q_stage[k + 1]
         c = sp.stage_child[k]
-        if c is not None:              # uniform branching: gather-free
-            def segsum(w, c=c, W=b - a):
-                return w.reshape((W, c) + w.shape[1:]).sum(axis=1)
+        if sp.ab_bwd[k] is not None:
+            # stage-stacked mode block: modal rmatvec + mode select + child
+            # reduction in ONE dense matmul (see StackedProblem.ab_bwd)
+            abtq = qc.reshape(b - a, c * n) @ sp.ab_bwd[k]     # [W, n+m]
         else:
-            rel = jnp.clip(sp.child_idx[a:b] - a2, 0, b2 - a2 - 1)
-            mask = sp.child_mask[a:b][..., None]
+            if c is not None:          # uniform branching: gather-free
+                def segsum(w, c=c, W=b - a):
+                    return w.reshape((W, c) + w.shape[1:]).sum(axis=1)
+            else:
+                rel = jnp.clip(sp.child_idx[a:b] - a2, 0, b2 - a2 - 1)
+                mask = sp.child_mask[a:b][..., None]
 
-            def segsum(w, rel=rel, mask=mask):
-                return jnp.sum(w[rel] * mask, axis=1)
+                def segsum(w, rel=rel, mask=mask):
+                    return jnp.sum(w[rel] * mask, axis=1)
 
-        # fused [A | B]'q: one mode-grouped rmatvec + ONE child reduction
-        # gives both sum_j A_j'q_j and sum_j B_j'q_j
-        abtq = segsum(sp.ABm.slice_rows(a2, b2).rmatvec(qc))  # [W, n+m]
+            # fused [A | B]'q: one mode-grouped rmatvec + ONE child
+            # reduction gives both sum_j A_j'q_j and sum_j B_j'q_j
+            abtq = segsum(sp.ABm.slice_rows(a2, b2).rmatvec(qc))
         sum_atq, sum_btq = abtq[:, :n], abtq[:, n:]
         d_k = jnp.einsum("iab,ib->ia", sp.Rinv[a:b], u_in[a:b] - sum_btq)
 
@@ -96,13 +101,17 @@ def project_dynamics(sp: StackedProblem, x_in, u_in, x0):
         u_stage[k] = u_k
         xu_k = jnp.concatenate([x_stage[k], u_k], axis=1)     # [W, n+m]
         c = sp.stage_child[k]
-        if c is not None:              # uniform: parents repeat, no gather
-            xu_par = jnp.repeat(xu_k, c, axis=0)
+        if sp.ab_fwd[k] is not None:
+            # all children of all parents in one dense matmul
+            x_stage[k + 1] = (xu_k @ sp.ab_fwd[k]).reshape(b2 - a2, n)
         else:
-            xu_par = xu_k[sp.anc[a2:b2] - a]
-        # x_j = Abar_j x_i + B_j d_i = A_j x_i + B_j u_i — one fused
-        # [A | B] matvec on the stacked [x; u]
-        x_stage[k + 1] = sp.ABm.slice_rows(a2, b2).matvec(xu_par)
+            if c is not None:          # uniform: parents repeat, no gather
+                xu_par = jnp.repeat(xu_k, c, axis=0)
+            else:
+                xu_par = xu_k[sp.anc[a2:b2] - a]
+            # x_j = Abar_j x_i + B_j d_i = A_j x_i + B_j u_i — one fused
+            # [A | B] matvec on the stacked [x; u]
+            x_stage[k + 1] = sp.ABm.slice_rows(a2, b2).matvec(xu_par)
 
     pad_x = sp.np_pad - N
     pad_u = sp.nl_pad - NL
