@@ -112,6 +112,15 @@ class StackedProblem:
     ab_bwd: Tuple[Optional[jax.Array], ...]   # [c*n, F]   sum A'q | B'q
     qr_fwd: Tuple[Optional[jax.Array], ...]   # [F, c*F]   e3/e4 rows
     qr_bwd: Tuple[Optional[jax.Array], ...]   # [c*F, F]   sum Q'e3 | R'e4
+    # Stage-constant Riccati tables: when every stage from k to the leaves
+    # has a uniform mode pattern, the backward recursion produces the SAME
+    # (K, Rinv, sumAPB) for every node of stage k — the [W, a, b] batched
+    # GEMVs of the DP sweeps then become [W, b] @ [b, a] dense matmuls
+    # against one tiny per-stage matrix (and stop reading the dense stacks
+    # from HBM every iteration). None where not stage-constant.
+    k_s: Tuple[Optional[jax.Array], ...]       # [m, n] per nonleaf stage
+    rinv_s: Tuple[Optional[jax.Array], ...]    # [m, m]
+    sumapb_s: Tuple[Optional[jax.Array], ...]  # [n, m]
 
     # -- offline factorisations --------------------------------------------------
     P: jax.Array            # [num_nodes, n, n] Riccati-like matrices
@@ -604,6 +613,15 @@ def build_stacked(spec: RAOCP, dtype=None,
 
     ab_pat = _stage_mode_patterns(w_idx, stage_start, stage_child)
     ab_fwd, ab_bwd = _stacked_stage_weights(ABm, ab_pat, dtype)
+    # stage-constant Riccati detection: constant at stage k iff every stage
+    # from k to the leaves has a uniform mode pattern (induction from P=I
+    # at the leaves — only the dynamics enter the recursion)
+    ns_nl = len(stage_child)
+    stage_const = [False] * ns_nl
+    const_below = True
+    for k in range(ns_nl - 1, -1, -1):
+        const_below = const_below and (ab_pat[k] is not None)
+        stage_const[k] = const_below
     if QRm is not None:
         qr_pat = _stage_mode_patterns(np.asarray(QRm.idx)[:N], stage_start,
                                       stage_child)
@@ -626,6 +644,14 @@ def build_stacked(spec: RAOCP, dtype=None,
             dev(_pad0(K, NLP))
         Abar_dev, sumAPB_dev = dev(_pad0(Abar, NP_)), dev(_pad0(sumAPB, NLP))
 
+    # representative rows for stage-constant stages (first node of stage)
+    k_s = tuple(K_dev[stage_start[k]] if stage_const[k] else None
+                for k in range(ns_nl))
+    rinv_s = tuple(Rinv_dev[stage_start[k]] if stage_const[k] else None
+                   for k in range(ns_nl))
+    sumapb_s = tuple(sumAPB_dev[stage_start[k]] if stage_const[k] else None
+                     for k in range(ns_nl))
+
     return StackedProblem(
         n=n, m=m, num_nodes=N, num_nonleaf=NL, num_leaf=LF,
         d_max=d, num_stages=tree.num_stages,
@@ -641,6 +667,7 @@ def build_stacked(spec: RAOCP, dtype=None,
         A=A_dev, B=B_dev, Am=Am, Bm=Bm, ABm=ABm,
         sqrtQ=sqrtQ_m, sqrtR=sqrtR_m, QRm=QRm, sqrtP=sqrtP_m,
         ab_fwd=ab_fwd, ab_bwd=ab_bwd, qr_fwd=qr_fwd, qr_bwd=qr_bwd,
+        k_s=k_s, rinv_s=rinv_s, sumapb_s=sumapb_s,
         b_pad=dev(_pad0(b_pad, NLP)), y_mask=dev(_pad0(y_mask, NLP)),
         nl_lo=dev(_pad0(nl_lo, NLP, -np.inf)),
         nl_hi=dev(_pad0(nl_hi, NLP, np.inf)),

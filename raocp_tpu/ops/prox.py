@@ -81,14 +81,23 @@ def project_dynamics(sp: StackedProblem, x_in, u_in, x0):
             # reduction gives both sum_j A_j'q_j and sum_j B_j'q_j
             abtq = segsum(sp.ABm.slice_rows(a2, b2).rmatvec(qc))
         sum_atq, sum_btq = abtq[:, :n], abtq[:, n:]
-        d_k = jnp.einsum("iab,ib->ia", sp.Rinv[a:b], u_in[a:b] - sum_btq)
-
         # sum_j Abar_j'q_j = sum_atq + K_i' sum_btq, fused into the K' term
-        q_stage[k] = (-x_in[a:b]
-                      + jnp.einsum("iab,ia->ib", sp.K[a:b],
-                                   d_k - u_in[a:b] + sum_btq)
-                      + jnp.einsum("iab,ib->ia", sp.sumAPB[a:b], d_k)
-                      + sum_atq)
+        if sp.rinv_s[k] is not None:
+            # stage-constant Riccati: dense matmuls against one tiny matrix
+            # instead of batched GEMVs over per-node stacks
+            d_k = (u_in[a:b] - sum_btq) @ sp.rinv_s[k].T
+            q_stage[k] = (-x_in[a:b]
+                          + (d_k - u_in[a:b] + sum_btq) @ sp.k_s[k]
+                          + d_k @ sp.sumapb_s[k].T
+                          + sum_atq)
+        else:
+            d_k = jnp.einsum("iab,ib->ia", sp.Rinv[a:b],
+                             u_in[a:b] - sum_btq)
+            q_stage[k] = (-x_in[a:b]
+                          + jnp.einsum("iab,ia->ib", sp.K[a:b],
+                                       d_k - u_in[a:b] + sum_btq)
+                          + jnp.einsum("iab,ib->ia", sp.sumAPB[a:b], d_k)
+                          + sum_atq)
         d_stage[k] = d_k
 
     x_stage = [None] * ns
@@ -97,7 +106,11 @@ def project_dynamics(sp: StackedProblem, x_in, u_in, x0):
     for k in range(ns - 1):
         a, b = ss[k], ss[k + 1]
         a2, b2 = ss[k + 1], ss[k + 2]
-        u_k = jnp.einsum("iab,ib->ia", sp.K[a:b], x_stage[k]) + d_stage[k]
+        if sp.k_s[k] is not None:
+            u_k = x_stage[k] @ sp.k_s[k].T + d_stage[k]
+        else:
+            u_k = jnp.einsum("iab,ib->ia", sp.K[a:b], x_stage[k]) \
+                + d_stage[k]
         u_stage[k] = u_k
         xu_k = jnp.concatenate([x_stage[k], u_k], axis=1)     # [W, n+m]
         c = sp.stage_child[k]

@@ -43,7 +43,8 @@ _NODE_SHARDED_FIELDS = (
 # mode-grouped matrix stacks: the small mode table is replicated, the
 # per-node mode index (or dense stack) is sharded
 _MODAL_FIELDS = ("sqrtQ", "sqrtR", "sqrtP", "Am", "Bm", "ABm", "QRm")
-_REPLICATED_FIELDS = ("zero_slot",)
+_REPLICATED_FIELDS = ("zero_slot", "ab_fwd", "ab_bwd", "qr_fwd", "qr_bwd",
+                      "k_s", "rinv_s", "sumapb_s")
 
 
 def make_mesh(devices: Optional[Sequence] = None,

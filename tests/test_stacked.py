@@ -94,6 +94,22 @@ def test_kernel_projector_properties(spec_and_sp):
         assert np.abs(Pi[i][:, pad]).max(initial=0) == 0
 
 
+def test_stage_constant_riccati_tables(spec_and_sp):
+    """Where build_stacked declares a stage's Riccati factors constant
+    (uniform mode patterns from there to the leaves), every node of the
+    stage must indeed carry identical K / Rinv / sumAPB — the DP sweeps
+    then use the single-representative tables."""
+    _, sp = spec_and_sp
+    ss = sp.stage_start
+    for k in range(sp.num_stages - 1):
+        a, b = ss[k], ss[k + 1]
+        if sp.k_s[k] is not None:
+            for stack, table in ((sp.K, sp.k_s), (sp.Rinv, sp.rinv_s),
+                                 (sp.sumAPB, sp.sumapb_s)):
+                rows = np.asarray(stack[a:b])
+                assert np.allclose(rows, np.asarray(table[k]), atol=1e-10)
+
+
 def test_stacked_layouts(spec_and_sp):
     spec, sp = spec_and_sp
     tree = spec.tree
