@@ -8,7 +8,11 @@ Prints one JSON line like bench.py.
 """
 
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 BENCH_ITERS = 100
 
@@ -41,10 +45,12 @@ def main() -> None:
     z0.x[0] = np.asarray(x0, dtype=z0.x.dtype)
     eta0 = sp.zero_dual(xp=np)
 
-    out = _run_cp(sp, z0, eta0, x0j, alpha, alpha, tol0, BENCH_ITERS)
+    out = _run_cp(sp, z0, eta0, x0j, alpha, alpha, tol0, BENCH_ITERS,
+                  check_every=25, unroll=5)
     jax.block_until_ready(out)
     tic = time.perf_counter()
-    out = _run_cp(sp, z0, eta0, x0j, alpha, alpha, tol0, BENCH_ITERS)
+    out = _run_cp(sp, z0, eta0, x0j, alpha, alpha, tol0, BENCH_ITERS,
+                  check_every=25, unroll=5)
     jax.block_until_ready(out)
     toc = time.perf_counter()
 
