@@ -108,10 +108,10 @@ class StackedProblem:
     # One entry per nonleaf stage; None where the stage has no uniform mode
     # pattern (ragged branching or post-stopping chains) — those stages use
     # the gather/select paths.
-    ab_fwd: Tuple[Optional[jax.Array], ...]   # [F, c*n]   x_children
-    ab_bwd: Tuple[Optional[jax.Array], ...]   # [c*n, F]   sum A'q | B'q
-    qr_fwd: Tuple[Optional[jax.Array], ...]   # [F, c*F]   e3/e4 rows
-    qr_bwd: Tuple[Optional[jax.Array], ...]   # [c*F, F]   sum Q'e3 | R'e4
+    ab_fwd: Tuple[Optional[jax.Array], ...]   # [F, c, n]   x_children
+    ab_bwd: Tuple[Optional[jax.Array], ...]   # [c, n, F]   sum A'q | B'q
+    qr_fwd: Tuple[Optional[jax.Array], ...]   # [F, c, F]   e3/e4 rows
+    qr_bwd: Tuple[Optional[jax.Array], ...]   # [c, F, F]   sum Q'e3 | R'e4
     # Stage-constant Riccati tables: when every stage from k to the leaves
     # has a uniform mode pattern, the backward recursion produces the SAME
     # (K, Rinv, sumAPB) for every node of stage k — the [W, a, b] batched
@@ -420,8 +420,13 @@ def _stage_mode_patterns(idx: np.ndarray, stage_start, stage_child):
 
 def _stacked_stage_weights(mm: Optional[ModalMatrix], patterns, dtype):
     """(fwd, bwd) tuples of per-stage stacked mode blocks for a mode-grouped
-    matrix: fwd[k] = hstack_r(modes[p_r].T) maps parents to all children in
-    one matmul; bwd[k] = vstack_r(modes[p_r]) sums rmatvec over children."""
+    matrix, kept 3-D so the consuming ``dot_general`` needs only free
+    major-dim reshapes on the node data (a 2-D [W, c*F] layout would force
+    a lane relayout per stage — measured ~8 us each on v5e):
+
+    fwd[k] [in, c, out]: children-from-parents, out3[w, r, o] (then a free
+    [W, c, out] -> [W*c, out] merge); bwd[k] [c, in, out]: rmatvec summed
+    over children via a single contraction over (c, in)."""
     if mm is None or mm.modes is None:
         none = tuple(None for _ in patterns)
         return none, none
@@ -433,9 +438,9 @@ def _stacked_stage_weights(mm: Optional[ModalMatrix], patterns, dtype):
             bwd.append(None)
         else:
             fwd.append(jnp.asarray(
-                np.concatenate([modes[p].T for p in pat], axis=1), dtype))
+                np.stack([modes[p].T for p in pat], axis=1), dtype))
             bwd.append(jnp.asarray(
-                np.concatenate([modes[p] for p in pat], axis=0), dtype))
+                np.stack([modes[p] for p in pat], axis=0), dtype))
     return tuple(fwd), tuple(bwd)
 
 

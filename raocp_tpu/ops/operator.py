@@ -16,6 +16,7 @@ and ell_t is the exact adjoint (verified segment-by-segment in
 ``tests/test_operator.py``, mirroring the reference's 13 pairing tests).
 """
 
+import jax
 import jax.numpy as jnp
 
 from raocp_tpu.core.stacked import StackedProblem
@@ -105,7 +106,9 @@ def ell(sp: StackedProblem, z: Primal) -> Dual:
             a, b = ss[k], ss[k + 1]
             a2, b2 = ss[k + 1], ss[k + 2]
             if sp.qr_fwd[k] is not None:
-                parts.append((xu[a:b] @ sp.qr_fwd[k]).reshape(b2 - a2, F))
+                e3d = jax.lax.dot_general(xu[a:b], sp.qr_fwd[k],
+                                          (((1,), (0,)), ((), ())))
+                parts.append(e3d.reshape(b2 - a2, F))
             else:
                 c = sp.stage_child[k]
                 xu_par = (jnp.repeat(xu[a:b], c, axis=0) if c is not None
@@ -158,7 +161,9 @@ def ell_t(sp: StackedProblem, eta: Dual) -> Primal:
             blk = e34[a2:b2]
             if sp.qr_bwd[k] is not None:
                 c = sp.stage_child[k]
-                parts.append(blk.reshape(b - a, c * F) @ sp.qr_bwd[k])
+                parts.append(jax.lax.dot_general(
+                    blk.reshape(b - a, c, F), sp.qr_bwd[k],
+                    (((1, 2), (0, 1)), ((), ()))))
             else:
                 w = sp.QRm.slice_rows(a2, b2).rmatvec(blk)
                 c = sp.stage_child[k]

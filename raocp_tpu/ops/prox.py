@@ -12,6 +12,7 @@ identity: scale, epigraph half-shifts, batched cone/box projections, and the
 final ``alpha * (modified - projected)`` combine.
 """
 
+import jax
 import jax.numpy as jnp
 
 from raocp_tpu.core.stacked import StackedProblem
@@ -64,8 +65,11 @@ def project_dynamics(sp: StackedProblem, x_in, u_in, x0):
         c = sp.stage_child[k]
         if sp.ab_bwd[k] is not None:
             # stage-stacked mode block: modal rmatvec + mode select + child
-            # reduction in ONE dense matmul (see StackedProblem.ab_bwd)
-            abtq = qc.reshape(b - a, c * n) @ sp.ab_bwd[k]     # [W, n+m]
+            # reduction in ONE contraction (see StackedProblem.ab_bwd);
+            # [W2, n] -> [W, c, n] is a free major-dim reshape
+            abtq = jax.lax.dot_general(
+                qc.reshape(b - a, c, n), sp.ab_bwd[k],
+                (((1, 2), (0, 1)), ((), ())))                  # [W, n+m]
         else:
             if c is not None:          # uniform branching: gather-free
                 def segsum(w, c=c, W=b - a):
@@ -115,8 +119,11 @@ def project_dynamics(sp: StackedProblem, x_in, u_in, x0):
         xu_k = jnp.concatenate([x_stage[k], u_k], axis=1)     # [W, n+m]
         c = sp.stage_child[k]
         if sp.ab_fwd[k] is not None:
-            # all children of all parents in one dense matmul
-            x_stage[k + 1] = (xu_k @ sp.ab_fwd[k]).reshape(b2 - a2, n)
+            # all children of all parents in one contraction; the trailing
+            # [W, c, n] -> [W*c, n] merge is a free major-dim reshape
+            x3 = jax.lax.dot_general(xu_k, sp.ab_fwd[k],
+                                     (((1,), (0,)), ((), ())))
+            x_stage[k + 1] = x3.reshape(b2 - a2, n)
         else:
             if c is not None:          # uniform: parents repeat, no gather
                 xu_par = jnp.repeat(xu_k, c, axis=0)
