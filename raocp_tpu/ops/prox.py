@@ -43,6 +43,13 @@ def project_dynamics(sp: StackedProblem, x_in, u_in, x0):
     Forward rollout (``cache.py:282-288``):
       u_i = K_i x_i + d_i ;  x_j = Abar_j x_i + B_j d_i
     """
+    from raocp_tpu.ops.pallas_sweep import (project_dynamics_pallas,
+                                            sweep_eligible)
+
+    if sweep_eligible(sp):
+        # one fused TPU kernel: both sweeps, VMEM-resident intermediates
+        return project_dynamics_pallas(sp, x_in, u_in, x0)
+
     ss = sp.stage_start
     N, NL, n, m = sp.num_nodes, sp.num_nonleaf, sp.n, sp.m
     ns = sp.num_stages
