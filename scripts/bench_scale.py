@@ -45,12 +45,15 @@ def main() -> None:
     z0.x[0] = np.asarray(x0, dtype=z0.x.dtype)
     eta0 = sp.zero_dual(xp=np)
 
+    # unroll=1 here: at ~1e5 nodes the unrolled while-body HLO multiplies an
+    # already-large program and compile time explodes; the per-trip
+    # bookkeeping it saves is negligible at ~4 ms/iter
     out = _run_cp(sp, z0, eta0, x0j, alpha, alpha, tol0, BENCH_ITERS,
-                  check_every=25, unroll=5)
+                  check_every=25)
     jax.block_until_ready(out)
     tic = time.perf_counter()
     out = _run_cp(sp, z0, eta0, x0j, alpha, alpha, tol0, BENCH_ITERS,
-                  check_every=25, unroll=5)
+                  check_every=25)
     jax.block_until_ready(out)
     toc = time.perf_counter()
 
