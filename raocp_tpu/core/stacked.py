@@ -402,6 +402,46 @@ def _fuse_block_diag(mq: ModalMatrix, mr: ModalMatrix,
                        idx=jnp.asarray(inv.astype(np.int32)))
 
 
+def _offline_riccati_stage(modes_a, modes_b, patterns):
+    """Backward Riccati recursion for FULLY stage-constant trees: one tiny
+    (n x n)-class computation per stage instead of one per node.
+
+    Exactly the reference recursion (``cache.py:207-233``) specialised to
+    the case where every parent of a stage sees children with the same mode
+    sequence — all nodes of a stage then share (P, K, Rinv, sumAPB), and
+    Abar is shared per (stage, sibling rank). Host numpy float64; at 1e5
+    nodes this replaces a device program over [N, n, n] stacks (whose
+    compile alone takes tens of minutes through a tunnelled backend) with
+    microseconds of work and a few-KB transfer.
+
+    Returns per-stage lists (P_s[ns], K_s, Rinv_s, sumAPB_s, Abar_s) where
+    Abar_s[k] is [c, n, n] for stage k's children.
+    """
+    n = modes_a.shape[1]
+    m = modes_b.shape[2]
+    ns_nl = len(patterns)
+    P_s = [None] * (ns_nl + 1)
+    P_s[ns_nl] = np.eye(n)
+    K_s, Rinv_s, APB_s, Abar_s = ([None] * ns_nl for _ in range(4))
+    for k in range(ns_nl - 1, -1, -1):
+        pat = patterns[k]
+        Pc = P_s[k + 1]
+        A = modes_a[list(pat)]          # [c, n, n]
+        B = modes_b[list(pat)]          # [c, n, m]
+        PB = Pc @ B                     # [c, n, m]
+        r_tilde = np.eye(m) + np.einsum("rba,rbc->ac", B, PB)
+        sum_k = np.einsum("rba,rbc->ac", B, Pc @ A)
+        Rinv_s[k] = np.linalg.inv(r_tilde)
+        K = np.linalg.solve(r_tilde, -sum_k)
+        Abar = A + B @ K
+        K_s[k] = K
+        Abar_s[k] = Abar
+        APB_s[k] = np.einsum("rba,rbc->ac", Abar, PB)
+        P_s[k] = (np.eye(n) + K.T @ K
+                  + np.einsum("rba,rbc,rcd->ad", Abar, Pc, Abar))
+    return P_s, K_s, Rinv_s, APB_s, Abar_s
+
+
 def _stage_mode_patterns(idx: np.ndarray, stage_start, stage_child):
     """Per nonleaf stage: the child mode sequence (tuple of mode ids, length
     c) when it is identical for every parent in the stage, else None."""
@@ -640,9 +680,56 @@ def build_stacked(spec: RAOCP, dtype=None,
             return ma[idx], mb[idx]
 
         A_dev, B_dev = _expand(Am.modes, Bm.modes, idx_dev)
-        P_dev, Rinv_dev, K_dev, Abar_dev, sumAPB_dev = _riccati_device_jit(
-            A_dev, B_dev, child_idx_dev, child_mask_dev, anc_dev,
-            stage_start, num_nonleaf=NL, nl_pad=NLP)
+        ns_nl_ = len(stage_child)
+        if ns_nl_ and stage_const[0]:
+            # Fully stage-constant tree: run the Riccati recursion on the
+            # host over ONE tiny matrix per stage, transfer only the stage
+            # tables, and expand the dense stacks on device by broadcast.
+            # The general device program (_riccati_device) over [N, n, n]
+            # stacks takes tens of minutes just to COMPILE at 1e5 nodes
+            # behind the tunnelled backend; this path is milliseconds.
+            P_sl, K_sl, Rinv_sl, APB_sl, Abar_sl = _offline_riccati_stage(
+                modes_a, modes_b, ab_pat)
+            widths = tuple(stage_start[k + 1] - stage_start[k]
+                           for k in range(tree.num_stages))
+
+            @jax.jit
+            def _expand_tables(P_st, K_st, Rinv_st, APB_st, Abar_st):
+                def bcast(tabs, rows, pad_rows):
+                    parts = [jnp.broadcast_to(t, (w,) + t.shape)
+                             for t, w in zip(tabs, rows)]
+                    if pad_rows:
+                        parts.append(jnp.zeros((pad_rows,) + tabs[0].shape,
+                                               dtype))
+                    return jnp.concatenate(parts, axis=0)
+
+                eye = jnp.eye(n, dtype=dtype)
+                P_full = bcast(list(P_st) + [eye], widths, NP_ - N)
+                K_full = bcast(list(K_st), widths[:-1], NLP - NL)
+                Rinv_full = bcast(list(Rinv_st), widths[:-1], NLP - NL)
+                APB_full = bcast(list(APB_st), widths[:-1], NLP - NL)
+                ab_parts = [jnp.zeros((1, n, n), dtype)]      # root row
+                for k, ab in enumerate(Abar_st):
+                    c = ab.shape[0]
+                    blk = jnp.broadcast_to(ab, (widths[k],) + ab.shape)
+                    ab_parts.append(blk.reshape(widths[k] * c, n, n))
+                if NP_ - N:
+                    ab_parts.append(jnp.zeros((NP_ - N, n, n), dtype))
+                Abar_full = jnp.concatenate(ab_parts, axis=0)
+                return P_full, K_full, Rinv_full, APB_full, Abar_full
+
+            to_dt = lambda t: jnp.asarray(t, dtype)   # noqa: E731
+            P_dev, K_dev, Rinv_dev, sumAPB_dev, Abar_dev = _expand_tables(
+                tuple(to_dt(t) for t in P_sl[:-1]),
+                tuple(to_dt(t) for t in K_sl),
+                tuple(to_dt(t) for t in Rinv_sl),
+                tuple(to_dt(t) for t in APB_sl),
+                tuple(to_dt(t) for t in Abar_sl))
+        else:
+            P_dev, Rinv_dev, K_dev, Abar_dev, sumAPB_dev = \
+                _riccati_device_jit(
+                    A_dev, B_dev, child_idx_dev, child_mask_dev, anc_dev,
+                    stage_start, num_nonleaf=NL, nl_pad=NLP)
     else:
         A_dev, B_dev = dev(_pad0(A, NP_)), dev(_pad0(B, NP_))
         P_dev, Rinv_dev, K_dev = dev(_pad0(P, NP_)), dev(_pad0(Rinv, NLP)), \
