@@ -438,7 +438,7 @@ def _offline_riccati_stage(modes_a, modes_b, patterns):
         Abar_s[k] = Abar
         APB_s[k] = np.einsum("rba,rbc->ac", Abar, PB)
         P_s[k] = (np.eye(n) + K.T @ K
-                  + np.einsum("rba,rbc,rcd->ad", Abar, Pc, Abar))
+                  + np.einsum("rba,bc,rcd->ad", Abar, Pc, Abar))
     return P_s, K_s, Rinv_s, APB_s, Abar_s
 
 

@@ -135,10 +135,15 @@ def test_device_offline_matches_host():
     Riccati factorisation and give the same solver behaviour."""
     from raocp_tpu.models import demo_problem, random_network_problem
 
+    # the fully-branching problem (stopping_time == num_stages) exercises
+    # the host stage-table path; the others the general device program
     for problem, _ in [demo_problem(),
                        random_network_problem(num_states=5, num_inputs=2,
                                               num_modes=3, num_stages=5,
-                                              stopping_time=3)]:
+                                              stopping_time=3),
+                       random_network_problem(num_states=5, num_inputs=2,
+                                              num_modes=3, num_stages=4,
+                                              stopping_time=4)]:
         host = build_stacked(problem, offline="host")
         dev = build_stacked(problem, offline="device")
         for name in ("A", "B", "P", "Rinv", "K", "Abar", "sumAPB"):
