@@ -11,10 +11,8 @@ Capability parity target: smokinmirror/raocp-toolbox (see reference
 """
 
 from raocp_tpu.core.tree import ScenarioTree, MarkovChainScenarioTreeFactory
-from raocp_tpu.core.nodes import Node, Nonleaf, Leaf
-from raocp_tpu.core.dynamics import Dynamics
-from raocp_tpu.core.costs import Quadratic
-from raocp_tpu.core.risks import AVaR
+from raocp_tpu.core.elements import (Node, Nonleaf, Leaf, NodeKind,
+                                     Dynamics, Quadratic, AVaR)
 from raocp_tpu.core.constraints import (
     Ball,
     Constraint,
@@ -36,6 +34,7 @@ __all__ = [
     "ScenarioTree",
     "MarkovChainScenarioTreeFactory",
     "Node",
+    "NodeKind",
     "Nonleaf",
     "Leaf",
     "Dynamics",

@@ -1,9 +1,7 @@
 import raocp_tpu.core.constraints  # noqa: F401
 from raocp_tpu.core.tree import ScenarioTree, MarkovChainScenarioTreeFactory
-from raocp_tpu.core.nodes import Node, Nonleaf, Leaf
-from raocp_tpu.core.dynamics import Dynamics
-from raocp_tpu.core.costs import Quadratic
-from raocp_tpu.core.risks import AVaR
+from raocp_tpu.core.elements import (Node, Nonleaf, Leaf, NodeKind,
+                                     Dynamics, Quadratic, AVaR)
 from raocp_tpu.core.spec import RAOCP
 from raocp_tpu.core.stacked import StackedProblem, build_stacked
 from raocp_tpu.core.variables import Primal, Dual
@@ -12,6 +10,7 @@ __all__ = [
     "ScenarioTree",
     "MarkovChainScenarioTreeFactory",
     "Node",
+    "NodeKind",
     "Nonleaf",
     "Leaf",
     "Dynamics",

@@ -592,7 +592,7 @@ def build_stacked(spec: RAOCP, dtype=None,
     zero_slot[2 * d] = True
 
     # constraint sets: boxes (Rectangle) and Euclidean balls (Ball)
-    from raocp_tpu.core.constraints.ball import Ball
+    from raocp_tpu.core.constraints.sets import Ball
 
     nl_lo = np.full((NL, n + m), -np.inf)
     nl_hi = np.full((NL, n + m), np.inf)

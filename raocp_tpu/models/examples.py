@@ -10,12 +10,8 @@ random networks of arbitrary size).
 
 import numpy as np
 
-from raocp_tpu.core.constraints.ball import Ball
-from raocp_tpu.core.constraints.rectangle import Rectangle
-from raocp_tpu.core.costs import Quadratic
-from raocp_tpu.core.dynamics import Dynamics
-from raocp_tpu.core.nodes import Leaf, Nonleaf
-from raocp_tpu.core.risks import AVaR
+from raocp_tpu.core.constraints.sets import Ball, Rectangle
+from raocp_tpu.core.elements import AVaR, Dynamics, Leaf, Nonleaf, Quadratic
 from raocp_tpu.core.spec import RAOCP
 from raocp_tpu.core.tree import MarkovChainScenarioTreeFactory
 

@@ -191,8 +191,8 @@ def test_constraint_project_dispatch():
 
 
 def test_ball_class_host_projection():
-    from raocp_tpu.core.constraints.ball import Ball
-    from raocp_tpu.core.nodes import Nonleaf
+    from raocp_tpu.core.constraints.sets import Ball
+    from raocp_tpu.core.elements import Nonleaf
 
     ball = Ball(Nonleaf(), radius=1.5, center=[1.0, 0.0])
     inside = np.array([1.2, 0.3])
