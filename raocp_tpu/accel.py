@@ -7,7 +7,7 @@ convergence of plain CP:
 
 * :func:`run_cp_anderson` — safeguarded Anderson acceleration (type II)
 * :func:`run_cp_supermann` — SuperMann-style globalisation with
-  limited-memory L-BFGS directions on the residual map
+  limited-memory Broyden quasi-Newton directions on the residual map
 
 Anderson acceleration works as follows:
 
@@ -209,39 +209,47 @@ def run_cp_supermann(sp: StackedProblem, z0, eta0, x0, alpha, tol,
             return (w_n, w_n - t_n, err_n, norm_r, r_safe,
                     jnp.asarray(1, jnp.int32))
 
+        def plain_step(j):
+            # plain CP step w+ = T(w) = w - r; refresh the residual
+            w_p = w - r
+            t_p, err_p = _t_map(sp, unravel, w_p, alpha, x0)
+            return w_p, w_p - t_p, err_p, eta_safe, r_safe, j + 1
+
         def line_search(_):
-            # K1: backtrack tau until |R(w + tau d)| <= c1 |R w|
-            cand0 = (jnp.ones((), dt), w, r, err,
-                     jnp.asarray(False), jnp.asarray(0, jnp.int32))
+            # K1 is admissible only under the (loop-invariant) safeguard
+            # |R w| <= r_safe; when it fails, no backtracking step can be
+            # accepted, so go straight to the fallback instead of burning
+            # ls_max T-map evaluations
+            def attempt(_):
+                # backtrack tau until |R(w + tau d)| <= c1 |R w|
+                cand0 = (jnp.ones((), dt), w, r, err,
+                         jnp.asarray(False), jnp.asarray(0, jnp.int32))
 
-            def ls_cond(c):
-                tau, _, _, _, ok, j = c
-                return jnp.logical_and(jnp.logical_not(ok), j < ls_max)
+                def ls_cond(c):
+                    tau, _, _, _, ok, j = c
+                    return jnp.logical_and(jnp.logical_not(ok), j < ls_max)
 
-            def ls_body(c):
-                tau, _, _, _, _, j = c
-                w_c = w + tau * d
-                t_c, err_c = _t_map(sp, unravel, w_c, alpha, x0)
-                r_c = w_c - t_c
-                ok = jnp.logical_and(
-                    norm_r <= r_safe,
-                    jnp.linalg.norm(r_c) <= c1 * norm_r)
-                return (tau * beta, w_c, r_c, err_c, ok, j + 1)
+                def ls_body(c):
+                    tau, _, _, _, _, j = c
+                    w_c = w + tau * d
+                    t_c, err_c = _t_map(sp, unravel, w_c, alpha, x0)
+                    r_c = w_c - t_c
+                    ok = jnp.linalg.norm(r_c) <= c1 * norm_r
+                    return (tau * beta, w_c, r_c, err_c, ok, j + 1)
 
-            tau, w_c, r_c, err_c, ok, j = jax.lax.while_loop(
-                ls_cond, ls_body, cand0)
+                tau, w_c, r_c, err_c, ok, j = jax.lax.while_loop(
+                    ls_cond, ls_body, cand0)
 
-            def accepted(_):
-                return (w_c, r_c, err_c, eta_safe,
-                        jnp.linalg.norm(r_c) + eps, j)
+                def accepted(_):
+                    return (w_c, r_c, err_c, eta_safe,
+                            jnp.linalg.norm(r_c) + eps, j)
 
-            def fallback(_):
-                # plain CP step w+ = T(w) = w - r; refresh the residual
-                w_p = w - r
-                t_p, err_p = _t_map(sp, unravel, w_p, alpha, x0)
-                return w_p, w_p - t_p, err_p, eta_safe, r_safe, j + 1
+                return jax.lax.cond(ok, accepted,
+                                    lambda _: plain_step(j), None)
 
-            return jax.lax.cond(ok, accepted, fallback, None)
+            return jax.lax.cond(
+                norm_r <= r_safe, attempt,
+                lambda _: plain_step(jnp.asarray(0, jnp.int32)), None)
 
         w_n, r_n, err_n, eta_n, rsafe_n, ev = jax.lax.cond(
             norm_r <= c0 * eta_safe, blind, line_search, None)

@@ -36,14 +36,16 @@ __all__ = ["sweep_eligible", "project_dynamics_pallas"]
 # therefore OPT-IN (RAOCP_TPU_PALLAS=1) — kept as the building block for
 # wider-tree / higher-state scales where the XLA per-stage op overhead
 # grows and the balance flips.
-_ENABLED = os.environ.get("RAOCP_TPU_PALLAS", "0") == "1"
 
 
 def sweep_eligible(sp) -> bool:
     """True when the fused sweep kernel supports this problem and we are
     compiling for a real TPU (the XLA path remains the reference
     implementation everywhere else, including the CPU test backend)."""
-    if not _ENABLED:
+    # read per call (late binding): flipping RAOCP_TPU_PALLAS after import
+    # must take effect, matching how RAOCP_TPU_MATMUL_PRECISION behaves in
+    # core/stacked.py
+    if os.environ.get("RAOCP_TPU_PALLAS", "0") != "1":
         return False
     if jax.default_backend() != "tpu":
         return False

@@ -83,14 +83,15 @@ class SolverResult:
 # tolerance on real hardware (measured: 20-state SOC problem, f32, 8000
 # iterations, xi ~ 1e-2). Every solver program is therefore traced under
 # full-precision matmuls. Override (e.g. "bfloat16" for throughput
-# experiments at loose tolerances) via RAOCP_TPU_MATMUL_PRECISION.
-MATMUL_PRECISION = os.environ.get("RAOCP_TPU_MATMUL_PRECISION", "float32")
+# experiments at loose tolerances) via RAOCP_TPU_MATMUL_PRECISION (read per
+# call, so setting it after import takes effect).
 
 
 def _with_matmul_precision(fn):
     @wraps(fn)
     def wrapper(*args, **kwargs):
-        with jax.default_matmul_precision(MATMUL_PRECISION):
+        prec = os.environ.get("RAOCP_TPU_MATMUL_PRECISION", "float32")
+        with jax.default_matmul_precision(prec):
             return fn(*args, **kwargs)
     return wrapper
 
@@ -264,11 +265,16 @@ def _run_cp(sp: StackedProblem, z0, eta0, x0, alpha1, alpha2, tol,
 
             if check_every == 1:
                 err, derr = fresh()
+                row = jnp.concatenate([err, derr])
             else:
-                err, derr = jax.lax.cond(
-                    (k + i + 1) % check_every == 0, fresh,
-                    lambda: (err, derr))
-            hist = hist.at[k + i].set(jnp.concatenate([err, derr]))
+                checked = (k + i + 1) % check_every == 0
+                err, derr = jax.lax.cond(checked, fresh,
+                                         lambda: (err, derr))
+                # NaN rows between checks so strided histories plot as gaps
+                # instead of stale stair-steps
+                row = jnp.where(checked, jnp.concatenate([err, derr]),
+                                jnp.nan)
+            hist = hist.at[k + i].set(row)
             if log_every is not None:
                 jax.lax.cond(
                     (k + i) % log_every == 0,
@@ -279,9 +285,14 @@ def _run_cp(sp: StackedProblem, z0, eta0, x0, alpha1, alpha2, tol,
 
     def cond(carry):
         _, _, _, _, k, err, _, _ = carry
+        # k + unroll <= max_iters + 1: the final trip never pushes the step
+        # count past the reference's cap of max_iters + 1 executed steps
+        # (reference solver.py:156-159 runs k = 0..max_iters inclusive);
+        # with unroll=1 this is exactly the reference stopping rule
         return jnp.logical_or(
             k == 0,
-            jnp.logical_and(jnp.max(err) > tol, k < max_iters + 1))
+            jnp.logical_and(jnp.max(err) > tol,
+                            k + unroll < max_iters + 2))
 
     pz, peta, _, _, iters, err, _, hist = jax.lax.while_loop(
         cond, body, (pz0, peta0, plz, plt, 0, err, derr, hist))
@@ -332,9 +343,10 @@ class Solver:
         :param accel: ``None`` (plain CP, iteration-for-iteration identical
             to the reference), ``"anderson"`` (safeguarded Anderson
             acceleration of the fixed point), or ``"supermann"`` /
-            ``"lbfgs"`` (SuperMann-style globalisation with L-BFGS
-            directions) — see :mod:`raocp_tpu.accel`
-        :param accel_memory: Anderson / L-BFGS history depth
+            ``"broyden"`` (SuperMann-style globalisation with
+            limited-memory Broyden quasi-Newton directions; ``"lbfgs"`` is
+            accepted as a legacy alias) — see :mod:`raocp_tpu.accel`
+        :param accel_memory: Anderson / Broyden history depth
         :param check_every: evaluate the convergence residuals every k-th
             iteration. 1 (default) matches the reference's per-iteration
             stopping test exactly; larger strides (e.g. 25) skip the
@@ -383,7 +395,7 @@ class Solver:
                     memory=accel_memory)
                 hist = jnp.concatenate(
                     [hist3, jnp.zeros_like(hist3)], axis=1)
-            elif accel in ("supermann", "lbfgs"):
+            elif accel in ("supermann", "broyden", "lbfgs"):
                 from raocp_tpu.accel import run_cp_supermann
                 z, eta, iters, _evals, err, hist3 = run_cp_supermann(
                     sp, z0, eta0, x0, jnp.asarray(alpha, sp.dtype),
