@@ -22,7 +22,8 @@ import jax.numpy as jnp
 from raocp_tpu.core.stacked import StackedProblem
 from raocp_tpu.core.variables import Primal, Dual
 
-__all__ = ["ell", "ell_t", "sum_over_children", "parent_expand", "repad"]
+__all__ = ["ell", "ell_t", "sum_over_children", "parent_expand", "repad",
+           "flat_linops"]
 
 
 def repad(arr, rows: int):
@@ -201,3 +202,35 @@ def ell_t(sp: StackedProblem, eta: Dual) -> Primal:
         [eta.e2[:NL], 0.5 * (eta.e12 + eta.e13)[:LF]], axis=0), sp.np_pad)
 
     return Primal(x=x, u=u, y=y, tau=tau, s=s)
+
+
+def flat_linops(sp: StackedProblem):
+    """(matvec, rmatvec, primal_dim, dual_dim) on flat numpy vectors.
+
+    The scipy-interop surface (parity: reference ``operators.py:96-109``
+    ``linop_ell``/``linop_ell_transpose``): wraps the jitted L / L' pair so
+    they plug directly into ``scipy.sparse.linalg.LinearOperator`` — e.g.
+    for cross-checking the step-size rule against Arnoldi ``eigs``::
+
+        mv, rmv, np_, nd = flat_linops(sp)
+        L = LinearOperator((nd, np_), matvec=mv, rmatvec=rmv)
+    """
+    import numpy as np
+
+    from raocp_tpu.core.variables import make_packers
+
+    pack_p, unpack_p, pack_d, unpack_d = make_packers(sp)
+    ell_jit = jax.jit(lambda pz: pack_d(ell(sp, unpack_p(pz))))
+    ell_t_jit = jax.jit(lambda pe: pack_p(ell_t(sp, unpack_d(pe))))
+    primal_dim = int(pack_p(sp.zero_primal(xp=np)).shape[0])
+    dual_dim = int(pack_d(sp.zero_dual(xp=np)).shape[0])
+
+    def matvec(vec):
+        flat = jnp.asarray(np.asarray(vec).reshape(-1), sp.dtype)
+        return np.asarray(ell_jit(flat))
+
+    def rmatvec(vec):
+        flat = jnp.asarray(np.asarray(vec).reshape(-1), sp.dtype)
+        return np.asarray(ell_t_jit(flat))
+
+    return matvec, rmatvec, primal_dim, dual_dim

@@ -101,3 +101,27 @@ def test_ell_matches_manual_computation(sp):
             eta.e11[ell_idx],
             np.asarray(sp.sqrtP.dense())[ell_idx] @ z.x[node], atol=1e-12)
         assert eta.e12[ell_idx] == pytest.approx(0.5 * z.s[node])
+
+
+def test_flat_linops_scipy_interop(sp):
+    """The flat matvec/rmatvec wrappers (reference operators.py:96-109
+    analogue) plug into scipy's LinearOperator, and Arnoldi eigs on L'L
+    agrees with the solver's on-device power iteration."""
+    from scipy.sparse.linalg import LinearOperator, eigs
+
+    from raocp_tpu.ops.operator import flat_linops
+    from raocp_tpu.solver import _power_iteration
+
+    mv, rmv, np_dim, nd_dim = flat_linops(sp)
+    L = LinearOperator((nd_dim, np_dim), matvec=mv, rmatvec=rmv)
+    LtL = LinearOperator((np_dim, np_dim),
+                         matvec=lambda v: rmv(mv(v)))
+    lam_arnoldi = float(np.real(eigs(LtL, k=1, which="LM",
+                                     return_eigenvectors=False)[0]))
+    lam_power, _ = _power_iteration(sp)
+    assert float(lam_power) == pytest.approx(lam_arnoldi, rel=1e-8)
+    # adjoint identity through the flat wrappers
+    rng = np.random.default_rng(4)
+    v = rng.standard_normal(np_dim)
+    w = rng.standard_normal(nd_dim)
+    assert float(mv(v) @ w) == pytest.approx(float(v @ rmv(w)), rel=1e-10)

@@ -146,3 +146,51 @@ def test_default_constraints_inactive(tree):
                for i in range(tree.num_nonleaf_nodes))
     assert all(not problem.leaf_constraint_at_node(i).is_active
                for i in range(tree.num_nonleaf_nodes, tree.num_nodes))
+
+
+def test_node_kind_enum_identity():
+    from raocp_tpu import NodeKind
+    assert Nonleaf() is NodeKind.NONLEAF
+    assert Leaf() is NodeKind.LEAF
+    assert Node() is NodeKind.GENERIC
+
+
+def test_avar_for_children_and_conic_form():
+    from raocp_tpu.core.elements import avar_conic_form
+    base = AVaR(0.5)
+    realized = base.for_children([0.25, 0.75])
+    assert base.probs is None                  # base stays unrealized
+    np.testing.assert_allclose(realized.probs, [0.25, 0.75])
+    form = avar_conic_form(0.5, [0.25, 0.75])
+    np.testing.assert_allclose(form.matrix_e, realized.matrix_e)
+    np.testing.assert_allclose(form.vector_b, realized.vector_b)
+
+
+def test_constraint_bind_and_derived_matrices():
+    rect = Rectangle(Nonleaf(), -np.ones(5), np.ones(5))
+    assert rect.state_matrix is None           # unbound
+    rect.bind(3, 2)
+    assert rect.width == 5
+    np.testing.assert_allclose(
+        rect.state_matrix, np.vstack([np.eye(3), np.zeros((2, 3))]))
+    np.testing.assert_allclose(
+        rect.control_matrix, np.vstack([np.zeros((3, 2)), np.eye(2)]))
+    np.testing.assert_allclose(rect.state_matrix_transposed,
+                               rect.state_matrix.T)
+    leaf_rect = Rectangle(Leaf(), -np.ones(3), np.ones(3))
+    leaf_rect.bind(3)
+    assert leaf_rect.width == 3
+    assert leaf_rect.control_matrix is None
+    with pytest.raises(Exception):
+        leaf_rect.control_size = 2
+
+
+def test_risk_realizations_are_shared_per_distinct_probs(tree):
+    problem = (RAOCP(tree).with_markovian_dynamics(_dynamics())
+               .with_all_risks(AVaR(0.95)))
+    distinct = {id(problem.risk_at_node(i))
+                for i in range(tree.num_nonleaf_nodes)}
+    probs = {np.asarray(
+        tree.conditional_probabilities_of_children(i)).tobytes()
+        for i in range(tree.num_nonleaf_nodes)}
+    assert len(distinct) == len(probs)
