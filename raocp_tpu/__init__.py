@@ -12,7 +12,8 @@ Capability parity target: smokinmirror/raocp-toolbox (see reference
 
 from raocp_tpu.core.tree import ScenarioTree, MarkovChainScenarioTreeFactory
 from raocp_tpu.core.elements import (Node, Nonleaf, Leaf, NodeKind,
-                                     Dynamics, Quadratic, AVaR)
+                                     Dynamics, Quadratic, AVaR,
+                                     TotalVariation, ConicRisk, ConicForm)
 from raocp_tpu.core.constraints import (
     Ball,
     Constraint,
@@ -40,6 +41,9 @@ __all__ = [
     "Dynamics",
     "Quadratic",
     "AVaR",
+    "TotalVariation",
+    "ConicRisk",
+    "ConicForm",
     "Constraint",
     "Ball",
     "No",

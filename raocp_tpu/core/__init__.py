@@ -1,7 +1,8 @@
 import raocp_tpu.core.constraints  # noqa: F401
 from raocp_tpu.core.tree import ScenarioTree, MarkovChainScenarioTreeFactory
 from raocp_tpu.core.elements import (Node, Nonleaf, Leaf, NodeKind,
-                                     Dynamics, Quadratic, AVaR)
+                                     Dynamics, Quadratic, AVaR,
+                                     TotalVariation, ConicRisk, ConicForm)
 from raocp_tpu.core.spec import RAOCP
 from raocp_tpu.core.stacked import StackedProblem, build_stacked
 from raocp_tpu.core.variables import Primal, Dual
@@ -16,6 +17,9 @@ __all__ = [
     "Dynamics",
     "Quadratic",
     "AVaR",
+    "TotalVariation",
+    "ConicRisk",
+    "ConicForm",
     "RAOCP",
     "StackedProblem",
     "build_stacked",

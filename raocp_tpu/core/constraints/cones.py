@@ -168,6 +168,11 @@ class Cartesian:
         return self._apply(list_of_vectors, dual=True)
 
     @property
+    def cones(self):
+        """The component cones, in order (read-only view)."""
+        return tuple(self.__cones)
+
+    @property
     def types(self):
         product = type(self.__cones[0]).__name__
         for c in self.__cones[1:]:

@@ -21,7 +21,8 @@ from scipy.linalg import sqrtm
 import raocp_tpu.core.constraints.cones as cones
 
 __all__ = ["NodeKind", "Node", "Nonleaf", "Leaf", "Dynamics", "Quadratic",
-           "ConicForm", "avar_conic_form", "AVaR"]
+           "ConicForm", "avar_conic_form", "AVaR",
+           "tv_conic_form", "TotalVariation", "ConicRisk"]
 
 
 # ---------------------------------------------------------------------------
@@ -262,3 +263,175 @@ class AVaR:
                 f"alpha: {self._alpha}; cone: {cone}")
 
     __repr__ = __str__
+
+
+class _ConicRiskBase:
+    """Shared protocol of conic-representable risk measures.
+
+    A risk is declared parameter-only; assigning :attr:`probs` (one node's
+    conditional child probabilities) realizes its ambiguity set
+    ``{mu : exists nu, b - E mu - F nu in K}`` as a :class:`ConicForm` via
+    the subclass's ``_make_form``. The builder's ``with_all_risks`` and the
+    stacking pass consume only this protocol, so any risk with a polyhedral
+    (NnOC/Zero/Real row) cone plugs into the solver unchanged — the
+    reference hardwires the single instance AVaR (``risks.py:5``); the
+    conic machinery itself (``cache.py:235-247``, ``operators.py:29-31``)
+    is risk-agnostic, which this class makes explicit.
+    """
+
+    is_risk = True
+
+    def __init__(self):
+        self._probs: Optional[np.ndarray] = None
+        self._conic: Optional[ConicForm] = None
+
+    def _make_form(self, child_probs: np.ndarray) -> ConicForm:
+        raise NotImplementedError
+
+    def for_children(self, child_probs) -> "_ConicRiskBase":
+        """A realized copy of this risk for one node's child probabilities."""
+        import copy
+
+        realized = copy.deepcopy(self)
+        realized.probs = child_probs
+        return realized
+
+    @property
+    def probs(self) -> Optional[np.ndarray]:
+        return self._probs
+
+    @probs.setter
+    def probs(self, child_probs) -> None:
+        self._probs = np.asarray(child_probs, dtype=np.float64).reshape(-1)
+        self._conic = self._make_form(self._probs)
+
+    def _realized(self) -> ConicForm:
+        if self._conic is None:
+            raise ValueError("risk not realized — assign .probs first")
+        return self._conic
+
+    @property
+    def matrix_e(self) -> np.ndarray:
+        return self._realized().matrix_e
+
+    @property
+    def matrix_f(self) -> np.ndarray:
+        return self._realized().matrix_f
+
+    @property
+    def cone(self):
+        return self._realized().cone
+
+    @property
+    def vector_b(self) -> np.ndarray:
+        return self._realized().vector_b
+
+    def __str__(self) -> str:
+        cone = "unrealized" if self._conic is None else self._conic.cone.types
+        return f"Risk item; type: {type(self).__name__}; cone: {cone}"
+
+    __repr__ = __str__
+
+
+def tv_conic_form(radius: float, child_probs) -> ConicForm:
+    """Realize the total-variation ambiguity set for given probabilities.
+
+    The set is ``{mu in simplex : ||mu - pi||_1 <= radius}`` — the
+    distributionally-robust expectation over it is a coherent risk measure
+    interpolating expectation (radius 0) and worst case (radius >= 2).
+    With the elementwise auxiliary bound ``t >= |mu - pi|`` it is the conic
+    form ``{mu : exists t, b - E mu - F t in K}`` (same convention as
+    :func:`avar_conic_form`):
+
+      mu - t <= pi ;  -mu - t <= -pi ;  1't <= radius ;  -mu <= 0   (NnOC)
+      1'mu = 1                                                      (Zero)
+
+    so ``E = [I; -I; 0'; -I; 1']`` (3c+2 rows), ``F = [-I; -I; 1'; 0; 0']``
+    (width c), ``K = NnOC(3c+1) x Zero(1)``, ``b = [pi; -pi; radius; 0; 1]``.
+    Unlike AVaR, F is nonzero — this exercises the general ``F'y = 0`` rows
+    of the risk-recursion kernel (reference ``cache.py:239-241``).
+    """
+    pi = np.asarray(child_probs, dtype=np.float64).reshape(-1)
+    c = pi.size
+    eye_c = np.eye(c)
+    ones_c = np.ones((1, c))
+    zeros_c = np.zeros((1, c))
+    matrix_e = np.concatenate(
+        [eye_c, -eye_c, zeros_c, -eye_c, ones_c], axis=0)
+    matrix_f = np.concatenate(
+        [-eye_c, -eye_c, ones_c, np.zeros((c, c)), zeros_c], axis=0)
+    cone = cones.Cartesian([cones.NonnegativeOrthant(dimension=3 * c + 1),
+                            cones.Zero(dimension=1)])
+    vector_b = np.concatenate(
+        [pi, -pi, [float(radius)], np.zeros(c), [1.0]]).reshape(-1, 1)
+    return ConicForm(matrix_e, matrix_f, cone, vector_b)
+
+
+class TotalVariation(_ConicRiskBase):
+    """Distributionally robust expectation over a total-variation ball.
+
+    ``rho(Z) = max { E_mu[Z] : mu in simplex, ||mu - pi||_1 <= radius }``.
+    ``radius = 0`` is the (risk-neutral) expectation, ``radius >= 2`` the
+    worst-case (max) measure. A capability beyond the reference (which
+    ships only AVaR, ``risks.py:5``) enabled by the risk-agnostic conic
+    machinery — see :class:`_ConicRiskBase`.
+    """
+
+    def __init__(self, radius: float):
+        if radius < 0.0:
+            raise ValueError(
+                f"total-variation radius must be nonnegative, got {radius}")
+        super().__init__()
+        self._radius = float(radius)
+
+    @property
+    def radius(self) -> float:
+        return self._radius
+
+    def _make_form(self, child_probs: np.ndarray) -> ConicForm:
+        return tv_conic_form(self._radius, child_probs)
+
+    def __str__(self) -> str:
+        cone = "unrealized" if self._conic is None else self._conic.cone.types
+        return (f"Risk item; type: {type(self).__name__}, "
+                f"radius: {self._radius}; cone: {cone}")
+
+    __repr__ = __str__
+
+
+class ConicRisk(_ConicRiskBase):
+    """A user-defined conic-representable risk measure.
+
+    ``form_fn(child_probs) -> ConicForm`` supplies the ambiguity set
+    ``{mu : exists nu, b - E mu - F nu in K}`` for one node's conditional
+    child probabilities. The cone may be any Cartesian product of
+    NonnegativeOrthant / Zero / Real components (i.e. any polyhedral
+    ambiguity set). Example — a custom expectation-anchored polytope::
+
+        risk = ConicRisk(lambda pi: ConicForm(E(pi), F(pi), K(pi), b(pi)))
+        problem.with_all_risks(risk)
+    """
+
+    def __init__(self, form_fn):
+        super().__init__()
+        if not callable(form_fn):
+            raise ValueError("ConicRisk needs a callable "
+                             "child_probs -> ConicForm")
+        self._form_fn = form_fn
+
+    def _make_form(self, child_probs: np.ndarray) -> ConicForm:
+        form = self._form_fn(child_probs)
+        if not isinstance(form, ConicForm):
+            raise TypeError("ConicRisk form_fn must return a ConicForm, got "
+                            f"{type(form).__name__}")
+        e, f, b = form.matrix_e, form.matrix_f, form.vector_b
+        rows = e.shape[0]
+        if f.shape[0] != rows or b.reshape(-1).size != rows:
+            raise ValueError(
+                "ConicForm row mismatch: E has %d rows, F %d, b %d"
+                % (rows, f.shape[0], b.reshape(-1).size))
+        if e.shape[1] != child_probs.size:
+            raise ValueError(
+                "E must have one column per child (%d), got %d"
+                % (child_probs.size, e.shape[1]))
+        return form

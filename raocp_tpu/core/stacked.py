@@ -14,11 +14,14 @@ into the arrays the batched TPU kernels consume, and runs the offline phase:
   (alpha, num_children) — projectors are computed once per distinct matrix
   and broadcast to nodes.
 
-Padded layouts (d = max branching, Y = 2d+1, D = 4d+1):
+Padded layouts (d = max branching; Y = max rows of any node's risk matrix E,
+e.g. 2d+1 for AVaR, 3d+2 for TotalVariation; D = Y + 2d):
 
-* y / e1 / b / E rows for a node with c children: real NnOC coordinates in
-  slots [0, 2c), the Zero-cone coordinate in slot 2d (a fixed position so the
-  cone projection is node-independent), other slots zero.
+* y / e1 / b / E rows for a node whose risk has R rows sit in slots [0, R)
+  in natural (E-row) order; slots beyond R are zero. The dual-cone
+  projection is driven by per-node row-kind masks (``risk_free_rows`` /
+  ``risk_zero_rows``) built from the risk's cone, so any Cartesian product
+  of NnOC / Zero / Real components batches branch-free.
 * kernel vector v = [y (Y slots) | tau_children (d slots) | s_children
   (d slots)].
 """
@@ -62,6 +65,9 @@ class StackedProblem:
     np_pad: int = dataclasses.field(metadata=dict(static=True))
     nl_pad: int = dataclasses.field(metadata=dict(static=True))
     lf_pad: int = dataclasses.field(metadata=dict(static=True))
+    # width of the padded y / e1 / b row space: the max row count of any
+    # node's risk matrix E (2d+1 for AVaR, 3d+2 for TotalVariation, ...)
+    y_dim: int = dataclasses.field(metadata=dict(static=True))
 
     # -- index plans ---------------------------------------------------------
     anc: jax.Array          # [num_nodes] parent (anc[0] = 0)
@@ -69,7 +75,12 @@ class StackedProblem:
     child_mask: jax.Array   # [num_nonleaf, d_max] 1.0 where valid
     child_rank: jax.Array   # [num_nodes] rank among siblings (root 0)
     nz_mask: jax.Array      # [num_nodes] 0.0 at root, 1.0 elsewhere
-    zero_slot: jax.Array    # [Y] True at the Zero-cone coordinate (slot 2d)
+    # per-node risk-cone row kinds ([num_nonleaf, Y] bool): rows whose DUAL
+    # projection is the identity (Zero-cone rows) / the zero map (Real-cone
+    # rows); all other real rows are NnOC (max(0, .)); padded slots are
+    # neither (max(0, 0) = 0 keeps them zero)
+    risk_free_rows: jax.Array
+    risk_zero_rows: jax.Array
 
     # -- problem data ----------------------------------------------------------
     A: jax.Array            # [num_nodes, n, n]; row 0 zero
@@ -134,11 +145,11 @@ class StackedProblem:
 
     @property
     def Y(self) -> int:
-        return 2 * self.d_max + 1
+        return self.y_dim
 
     @property
     def D(self) -> int:
-        return 4 * self.d_max + 1
+        return self.y_dim + 2 * self.d_max
 
     @property
     def dtype(self):
@@ -336,21 +347,22 @@ _riccati_device_jit = jax.jit(
     static_argnames=("stage_start", "num_nonleaf", "nl_pad"))
 
 
-def _offline_kernel_projectors(spec: RAOCP, d_max: int) -> np.ndarray:
+def _offline_kernel_projectors(spec: RAOCP, d_max: int,
+                               y_dim: int) -> np.ndarray:
     """Orthogonal projectors onto ker([[E', -I, -I], [F', 0, 0]]) in the
     padded [y | tau | s] layout (parity: reference ``cache.py:235-242``,
     with lstsq-per-iteration replaced by a precomputed projector)."""
     tree = spec.tree
     NL = tree.num_nonleaf_nodes
-    Y = 2 * d_max + 1
-    D = 4 * d_max + 1
+    Y = y_dim
+    D = Y + 2 * d_max
     Pi = np.zeros((NL, D, D))
     cache = {}
     for i in range(NL):
         risk = spec.risk_at_node(i)
         E, F = risk.matrix_e, risk.matrix_f
         c = tree.child_count[i]
-        key = (E.tobytes(), F.tobytes(), int(c))
+        key = (E.shape, E.tobytes(), F.shape, F.tobytes(), int(c))
         if key not in cache:
             eye = np.eye(c)
             zeros = np.zeros((F.shape[1], c))
@@ -360,11 +372,11 @@ def _offline_kernel_projectors(spec: RAOCP, d_max: int) -> np.ndarray:
             # equals the reference's null-space projector)
             MMt_inv = np.linalg.pinv(M @ M.T)
             Pi_small = np.eye(M.shape[1]) - M.T @ MMt_inv @ M
-            # embed unpadded coords [y(2c+1), tau(c), s(c)] into the padded
-            # layout: y NnOC part -> slots [0,2c), y Zero part -> slot 2d,
-            # tau_j -> Y+j, s_j -> Y+d+j
+            # embed unpadded coords [y(R), tau(c), s(c)] into the padded
+            # layout: y rows -> slots [0, R), tau_j -> Y+j, s_j -> Y+d+j
+            R = E.shape[0]
             emb = np.concatenate((
-                np.arange(2 * c), [2 * d_max],
+                np.arange(R),
                 Y + np.arange(c),
                 Y + d_max + np.arange(c)))
             Pi_pad = np.zeros((D, D))
@@ -372,6 +384,38 @@ def _offline_kernel_projectors(spec: RAOCP, d_max: int) -> np.ndarray:
             cache[key] = Pi_pad
         Pi[i] = cache[key]
     return Pi
+
+
+def _cone_row_kinds(cone, rows: int):
+    """Row-kind codes of a risk cone: 0 = NnOC (dual: max(0, .)),
+    1 = Zero (dual: identity), 2 = Real (dual: zero map). Any Cartesian
+    product of those components batches branch-free via per-row masks;
+    other components (e.g. SecondOrderCone) have no row-wise dual
+    projection and are rejected here."""
+    import raocp_tpu.core.constraints.cones as cones
+
+    comps = cone.cones if isinstance(cone, cones.Cartesian) else [cone]
+    kinds = []
+    for comp in comps:
+        dim = comp.dimension
+        if dim is None:
+            raise ValueError("risk cone components must carry explicit "
+                             "dimensions")
+        if isinstance(comp, cones.NonnegativeOrthant):
+            kinds.extend([0] * dim)
+        elif isinstance(comp, cones.Zero):
+            kinds.extend([1] * dim)
+        elif isinstance(comp, cones.Real):
+            kinds.extend([2] * dim)
+        else:
+            raise NotImplementedError(
+                "risk cones must be Cartesian products of "
+                "NonnegativeOrthant / Zero / Real components; got "
+                f"{type(comp).__name__}")
+    if len(kinds) != rows:
+        raise ValueError(f"risk cone dimension {len(kinds)} does not match "
+                         f"the {rows} rows of (E, b)")
+    return kinds
 
 
 def _fuse_block_diag(mq: ModalMatrix, mr: ModalMatrix,
@@ -520,7 +564,9 @@ def build_stacked(spec: RAOCP, dtype=None,
     n = spec.state_size
     m = spec.control_size
     d = tree.max_branching
-    Y = 2 * d + 1
+    # padded y width: the max row count of any node's risk matrix E
+    # (= 2c+1 per AVaR node, 3c+2 per TotalVariation node, ...)
+    Y = max(spec.risk_at_node(i).matrix_e.shape[0] for i in range(NL))
 
     def up(v: int) -> int:
         return -(-v // pad_multiple) * pad_multiple
@@ -529,7 +575,7 @@ def build_stacked(spec: RAOCP, dtype=None,
 
     if offline == "host":
         A, B, P, Rinv, K, Abar, sumAPB = _offline_riccati(spec, n, m)
-    Pi = _offline_kernel_projectors(spec, d)
+    Pi = _offline_kernel_projectors(spec, d, Y)
 
     def modal_stack(fetch, start: int, stop: int, offset: int, rows: int,
                     shape, dt):
@@ -578,18 +624,22 @@ def build_stacked(spec: RAOCP, dtype=None,
         lambda i: spec.leaf_cost_at_node(i).sqrt_state_weights,
         NL, N, NL, LFP, (n, n), dtype)
 
-    # risk b vectors + masks in the padded layout
+    # risk b vectors + row-kind masks in the padded layout (rows of node i's
+    # (E, b) occupy slots [0, R_i) in natural order; kind-driven dual-cone
+    # projection — see _cone_row_kinds)
     b_pad = np.zeros((NL, Y))
     y_mask = np.zeros((NL, Y))
+    risk_free = np.zeros((NL, Y), dtype=bool)   # Zero-cone rows
+    risk_zero = np.zeros((NL, Y), dtype=bool)   # Real-cone rows
     for i in range(NL):
-        c = tree.child_count[i]
-        b = spec.risk_at_node(i).vector_b.reshape(-1)   # [pi; 0_c; 1]
-        b_pad[i, :2 * c] = b[:2 * c]
-        b_pad[i, 2 * d] = b[2 * c]
-        y_mask[i, :2 * c] = 1.0
-        y_mask[i, 2 * d] = 1.0
-    zero_slot = np.zeros(Y, dtype=bool)
-    zero_slot[2 * d] = True
+        risk = spec.risk_at_node(i)
+        b = risk.vector_b.reshape(-1)
+        R = b.size
+        b_pad[i, :R] = b
+        y_mask[i, :R] = 1.0
+        kinds = np.asarray(_cone_row_kinds(risk.cone, R))
+        risk_free[i, :R] = kinds == 1
+        risk_zero[i, :R] = kinds == 2
 
     # constraint sets: boxes (Rectangle) and Euclidean balls (Ball)
     from raocp_tpu.core.constraints.sets import Ball
@@ -749,13 +799,14 @@ def build_stacked(spec: RAOCP, dtype=None,
         d_max=d, num_stages=tree.num_stages,
         stage_start=stage_start,
         stage_child=stage_child,
-        np_pad=NP_, nl_pad=NLP, lf_pad=LFP,
+        np_pad=NP_, nl_pad=NLP, lf_pad=LFP, y_dim=Y,
         anc=anc_dev,
         child_idx=child_idx_dev,
         child_mask=child_mask_dev,
         child_rank=dev(_pad0(tree.child_rank, NP_), jnp.int32),
         nz_mask=dev(_pad0(nz_mask, NP_)),
-        zero_slot=jnp.asarray(zero_slot),
+        risk_free_rows=jnp.asarray(_pad0(risk_free, NLP)),
+        risk_zero_rows=jnp.asarray(_pad0(risk_zero, NLP)),
         A=A_dev, B=B_dev, Am=Am, Bm=Bm, ABm=ABm,
         sqrtQ=sqrtQ_m, sqrtR=sqrtR_m, QRm=QRm, sqrtP=sqrtP_m,
         ab_fwd=ab_fwd, ab_bwd=ab_bwd, qr_fwd=qr_fwd, qr_bwd=qr_bwd,

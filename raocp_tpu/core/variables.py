@@ -9,8 +9,8 @@ Primal z = (x, u, y, tau, s)  — reference segments 1..5 (``cache.py:126``)
 Dual  eta = parts 1..7 (nonleaf/child) and 11..14 (leaf)
                               — reference segments (``cache.py:140``)
 
-Padding invariant: padded slots (y/e1 columns beyond a node's 2c+1 real
-coordinates, masked child-table entries, row 0 of the child-indexed parts
+Padding invariant: padded slots (y/e1 columns beyond a node's real risk
+rows, masked child-table entries, row 0 of the child-indexed parts
 e3..e6) are identically zero at all times; every operator and prox map
 preserves this, so norms and inner products match the reference exactly.
 """
@@ -30,7 +30,8 @@ class Primal(NamedTuple):
 
     x:   [num_nodes, n]        states
     u:   [num_nonleaf, m]      controls
-    y:   [num_nonleaf, Y]      risk duals (padded; Y = 2*d_max + 1)
+    y:   [num_nonleaf, Y]      risk duals (padded; Y = max risk rows,
+                               e.g. 2*d_max + 1 for AVaR)
     tau: [num_nodes]           epigraph relaxation of stage costs
     s:   [num_nodes]           epigraph relaxation of risk recursion
     """

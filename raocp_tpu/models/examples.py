@@ -21,11 +21,12 @@ __all__ = ["demo_problem", "lqr_binary_problem", "mass_spring_problem",
 
 
 def demo_problem(num_stages: int = 4, stopping_time: int = 3,
-                 initial_distribution=None):
+                 initial_distribution=None, risk=None):
     """The reference main.py configuration (32-node tree at defaults).
 
     Returns (problem, initial_state). ``initial_distribution`` overrides the
-    root mode distribution (used by the closed-loop MPC factory).
+    root mode distribution (used by the closed-loop MPC factory); ``risk``
+    overrides the AVaR(0.95) risk measure (e.g. ``TotalVariation(0.5)``).
     """
     p = np.array([[0.1, 0.8, 0.1],
                   [0.4, 0.6, 0.0],
@@ -61,7 +62,7 @@ def demo_problem(num_stages: int = 4, stopping_time: int = 3,
                .with_markovian_dynamics(dynamics)
                .with_markovian_nonleaf_costs(nonleaf_costs)
                .with_all_leaf_costs(leaf_cost)
-               .with_all_risks(AVaR(0.95))
+               .with_all_risks(AVaR(0.95) if risk is None else risk)
                .with_all_nonleaf_constraints(Rectangle(nl, nl_min, nl_max))
                .with_all_leaf_constraints(Rectangle(lf, l_min, l_max)))
     initial_state = np.array([5.0, -6.0, -1.0])

@@ -72,12 +72,16 @@ def soc_project(v):
     return jnp.concatenate([proj_x, proj_t[..., None]], axis=-1)
 
 
-def risk_dual_project(v, zero_slot):
-    """Projection onto the dual of the AVaR ambiguity cone, padded layout.
+def risk_dual_project(v, free_rows, zero_rows):
+    """Projection onto the dual of each node's risk ambiguity cone.
 
-    The cone is NonnegativeOrthant(2c) x Zero(1); its dual is
-    NnOC(2c) x Real(1). In the padded layout the Zero/Real coordinate sits at
-    the fixed slot ``2*d_max`` (`zero_slot` mask), NnOC coordinates at
-    [0, 2c), and padded slots carry zeros (max(0, 0) = 0 keeps them zero).
+    The cone is any Cartesian product of NnOC / Zero / Real rows, described
+    by two per-node boolean row masks ([num_nonleaf, Y], natural row order):
+    ``free_rows`` marks Zero-cone rows (dual = R, projection = identity),
+    ``zero_rows`` marks Real-cone rows (dual = {0}, projection = 0); all
+    other rows are NnOC (self-dual, max(0, .)). Padded slots carry zeros in
+    both masks and the input (max(0, 0) = 0 keeps them zero). For AVaR the
+    masks encode NnOC(2c) x Zero(1) (reference ``risks.py:28-35``).
     """
-    return jnp.where(zero_slot, v, jnp.maximum(v, 0))
+    return jnp.where(free_rows, v,
+                     jnp.where(zero_rows, 0.0, jnp.maximum(v, 0)))

@@ -36,14 +36,15 @@ AXIS = "nodes"
 _NODE_SHARDED_FIELDS = (
     "anc", "child_idx", "child_mask", "child_rank", "nz_mask",
     "A", "B",
-    "b_pad", "y_mask", "nl_lo", "nl_hi", "nl_active",
+    "b_pad", "y_mask", "risk_free_rows", "risk_zero_rows",
+    "nl_lo", "nl_hi", "nl_active",
     "l_lo", "l_hi", "l_active",
     "P", "Rinv", "K", "Abar", "sumAPB", "Pi",
 )
 # mode-grouped matrix stacks: the small mode table is replicated, the
 # per-node mode index (or dense stack) is sharded
 _MODAL_FIELDS = ("sqrtQ", "sqrtR", "sqrtP", "Am", "Bm", "ABm", "QRm")
-_REPLICATED_FIELDS = ("zero_slot", "ab_fwd", "ab_bwd", "qr_fwd", "qr_bwd",
+_REPLICATED_FIELDS = ("ab_fwd", "ab_bwd", "qr_fwd", "qr_bwd",
                       "k_s", "rinv_s", "sumapb_s")
 
 

@@ -486,7 +486,7 @@ class Solver:
             risk = spec.risk_at_node(i)
             ch = tree.children_of(i)
             c = len(ch)
-            yi = np.concatenate([y[i, :2 * c], [y[i, 2 * sp.d_max]]])
+            yi = y[i, :risk.matrix_e.shape[0]]
             M = np.vstack((
                 np.hstack((risk.matrix_e.T, -np.eye(c), -np.eye(c))),
                 np.hstack((risk.matrix_f.T, np.zeros((risk.matrix_f.shape[1],

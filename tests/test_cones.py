@@ -122,16 +122,48 @@ def test_batched_nonneg_and_box():
 def test_risk_dual_project_padded():
     d_max = 3
     Y = 2 * d_max + 1
-    zero_slot = np.zeros(Y, dtype=bool)
-    zero_slot[2 * d_max] = True
-    v = RNG.standard_normal((20, Y))
-    # pad invariant: slots beyond 2c are zero for a node with c children
+    rows = 20
+    # per-node masks: node k has c=2 children -> AVaR rows [0, 2c], Zero
+    # row at slot 2c, padded slots beyond
     c = 2
-    v[:, 2 * c:2 * d_max] = 0.0
-    out = np.asarray(jcones.risk_dual_project(jnp.asarray(v), zero_slot))
+    free = np.zeros((rows, Y), dtype=bool)
+    free[:, 2 * c] = True
+    zero = np.zeros((rows, Y), dtype=bool)
+    v = RNG.standard_normal((rows, Y))
+    v[:, 2 * c + 1:] = 0.0                 # pad invariant
+    out = np.asarray(jcones.risk_dual_project(jnp.asarray(v), free, zero))
     np.testing.assert_allclose(out[:, :2 * c], np.maximum(v[:, :2 * c], 0))
-    np.testing.assert_allclose(out[:, 2 * d_max], v[:, 2 * d_max])
-    np.testing.assert_allclose(out[:, 2 * c:2 * d_max], 0.0)
+    np.testing.assert_allclose(out[:, 2 * c], v[:, 2 * c])
+    np.testing.assert_allclose(out[:, 2 * c + 1:], 0.0)
+
+
+def test_risk_dual_project_row_kinds():
+    """Mixed NnOC / Zero / Real rows: dual-cone projection is max(0, .) /
+    identity / 0 per row; and it satisfies the projection variational
+    inequality against sampled dual-cone points."""
+    rows, Y = 30, 9
+    free = np.zeros((rows, Y), dtype=bool)   # Zero-cone rows (dual = R)
+    zero = np.zeros((rows, Y), dtype=bool)   # Real-cone rows (dual = {0})
+    free[:, 3] = True
+    free[:, 7] = True
+    zero[:, 5] = True
+    v = RNG.standard_normal((rows, Y))
+    out = np.asarray(jcones.risk_dual_project(
+        jnp.asarray(v), jnp.asarray(free), jnp.asarray(zero)))
+    for col in range(Y):
+        if free[0, col]:
+            np.testing.assert_allclose(out[:, col], v[:, col])
+        elif zero[0, col]:
+            np.testing.assert_allclose(out[:, col], 0.0)
+        else:
+            np.testing.assert_allclose(out[:, col],
+                                       np.maximum(v[:, col], 0))
+    # variational inequality <v - Pv, s - Pv> <= 0 for s in the dual cone
+    for _ in range(50):
+        s = RNG.standard_normal((rows, Y))
+        s = np.where(free[0], s, np.where(zero[0], 0.0, np.maximum(s, 0)))
+        lhs = np.sum((v - out) * (s - out), axis=1)
+        assert (lhs <= 1e-9).all()
 
 
 def test_ball_project_properties():

@@ -86,25 +86,24 @@ def test_kernel_projection_matches_oracle(spec_and_sp):
         sp, jnp.asarray(z.y), jnp.asarray(z.tau), jnp.asarray(z.s))
     y_new, tau_new, s_new = map(np.asarray, (y_new, tau_new, s_new))
 
-    # build the unpadded y per node for the oracle
+    # build the unpadded y per node for the oracle (natural row order:
+    # node i's risk rows occupy slots [0, R_i))
     y_unpadded = []
+    rows = []
     for i in range(sp.num_nonleaf):
-        c = len(tree.children_of(i))
-        y_unpadded.append(np.concatenate((z.y[i][:2 * c],
-                                          [z.y[i][2 * sp.d_max]])))
+        R = spec.risk_at_node(i).matrix_e.shape[0]
+        rows.append(R)
+        y_unpadded.append(np.asarray(z.y[i][:R]))
     y_ref, tau_ref, s_ref = kernel_projection_oracle(
         spec, y_unpadded, np.asarray(z.tau), np.asarray(z.s))
 
     np.testing.assert_allclose(tau_new, tau_ref, atol=1e-9)
     np.testing.assert_allclose(s_new, s_ref, atol=1e-9)
     for i in range(sp.num_nonleaf):
-        c = len(tree.children_of(i))
-        np.testing.assert_allclose(y_new[i][:2 * c], y_ref[i][:2 * c],
-                                   atol=1e-9)
-        assert y_new[i][2 * sp.d_max] == pytest.approx(y_ref[i][2 * c],
-                                                       abs=1e-9)
-        if c < sp.d_max:
-            assert np.abs(y_new[i][2 * c:2 * sp.d_max]).max() == 0
+        R = rows[i]
+        np.testing.assert_allclose(y_new[i][:R], y_ref[i], atol=1e-9)
+        if R < sp.Y:
+            assert np.abs(y_new[i][R:]).max() == 0
 
 
 def test_prox_f_shifts_s0(spec_and_sp):

@@ -1,0 +1,267 @@
+"""Tests for the generic conic-risk layer: TotalVariation, ConicRisk, and
+the per-node row-kind dual projections.
+
+The reference hardwires AVaR (``risks.py:5``); its conic machinery
+(E, F, K, b ambiguity sets, ``cache.py:235-247``) is risk-agnostic. These
+tests exercise that generality end-to-end: a risk with a nonzero F matrix
+(auxiliary variables), non-AVaR row layouts, and cross-checks against
+independent oracles (greedy LP solution, expectation/worst-case limits).
+"""
+
+import numpy as np
+import pytest
+import scipy.optimize
+
+from raocp_tpu.core.elements import (AVaR, ConicForm, ConicRisk,
+                                     TotalVariation, avar_conic_form,
+                                     tv_conic_form)
+from raocp_tpu.core.stacked import build_stacked
+from raocp_tpu.models import demo_problem
+
+RNG = np.random.default_rng(7)
+
+
+def _max_over_conic_form(form: ConicForm, z: np.ndarray) -> float:
+    """max_mu { z'mu : exists nu, b - E mu - F nu in K } via scipy linprog.
+
+    K rows are read from the cone components (NnOC -> inequality,
+    Zero -> equality)."""
+    import raocp_tpu.core.constraints.cones as cones
+
+    E, F, b = form.matrix_e, form.matrix_f, form.vector_b.reshape(-1)
+    c, w = E.shape[1], F.shape[1]
+    kinds = []
+    for comp in form.cone.cones:
+        tag = {cones.NonnegativeOrthant: "ub", cones.Zero: "eq"}[type(comp)]
+        kinds.extend([tag] * comp.dimension)
+    kinds = np.asarray(kinds)
+    G = np.hstack([E, F])
+    ub = kinds == "ub"
+    res = scipy.optimize.linprog(
+        c=-np.concatenate([z, np.zeros(w)]),
+        A_ub=G[ub], b_ub=b[ub],
+        A_eq=G[~ub], b_eq=b[~ub],
+        bounds=[(None, None)] * (c + w), method="highs")
+    assert res.success, res.message
+    return -res.fun
+
+
+def _tv_robust_expectation(z, pi, radius) -> float:
+    """Greedy (exact) solution of max { mu'z : mu in simplex,
+    ||mu - pi||_1 <= radius }: transport up to radius/2 mass from the
+    lowest-z entries to the single highest-z entry."""
+    z = np.asarray(z, dtype=float)
+    pi = np.asarray(pi, dtype=float)
+    imax = int(np.argmax(z))
+    eps = min(radius / 2.0, 1.0 - pi[imax])
+    mu = pi.copy()
+    mu[imax] += eps
+    take = eps
+    for j in np.argsort(z):
+        if j == imax or take <= 0:
+            continue
+        give = min(mu[j], take)
+        mu[j] -= give
+        take -= give
+    return float(mu @ z)
+
+
+def test_tv_conic_form_shapes_and_membership():
+    pi = np.array([0.2, 0.5, 0.3])
+    r = 0.4
+    form = tv_conic_form(r, pi)
+    c = 3
+    assert form.matrix_e.shape == (3 * c + 2, c)
+    assert form.matrix_f.shape == (3 * c + 2, c)
+    assert form.vector_b.shape == (3 * c + 2, 1)
+
+    def member(mu):
+        """mu in the set iff some t satisfies all rows; take t = |mu - pi|."""
+        t = np.abs(mu - pi)
+        resid = form.vector_b.reshape(-1) - form.matrix_e @ mu \
+            - form.matrix_f @ t
+        return (resid[:-1] >= -1e-9).all() and abs(resid[-1]) < 1e-9
+
+    assert member(pi)                                  # center
+    assert member(np.array([0.2 + 0.2, 0.5 - 0.2, 0.3]))   # on the ball
+    assert not member(np.array([0.2 + 0.3, 0.5 - 0.3, 0.3]))  # outside ball
+    assert not member(np.array([0.3, 0.5, 0.3]))       # off the simplex
+
+
+def test_tv_conic_form_matches_greedy_lp():
+    """The LP over the conic form equals the greedy transport solution."""
+    for c in (2, 3, 5):
+        pi = RNG.random(c) + 0.05
+        pi /= pi.sum()
+        for r in (0.0, 0.15, 0.6, 2.0):
+            form = tv_conic_form(r, pi)
+            for _ in range(5):
+                z = RNG.standard_normal(c)
+                lp = _max_over_conic_form(form, z)
+                greedy = _tv_robust_expectation(z, pi, r)
+                assert lp == pytest.approx(greedy, abs=1e-8)
+
+
+def test_tv_limits_match_avar_limits():
+    """radius 0 -> expectation (= AVaR(1)); radius >= 2 -> worst case
+    (= AVaR(0)) — checked through the conic-form LPs."""
+    pi = np.array([0.25, 0.4, 0.35])
+    for _ in range(5):
+        z = RNG.standard_normal(3)
+        e_tv0 = _max_over_conic_form(tv_conic_form(0.0, pi), z)
+        e_av1 = _max_over_conic_form(avar_conic_form(1.0, pi), z)
+        assert e_tv0 == pytest.approx(float(pi @ z), abs=1e-8)
+        assert e_av1 == pytest.approx(float(pi @ z), abs=1e-8)
+        w_tv = _max_over_conic_form(tv_conic_form(2.0, pi), z)
+        w_av = _max_over_conic_form(avar_conic_form(0.0, pi), z)
+        assert w_tv == pytest.approx(float(z.max()), abs=1e-8)
+        assert w_av == pytest.approx(float(z.max()), abs=1e-8)
+
+
+def test_tv_validation():
+    with pytest.raises(ValueError):
+        TotalVariation(-0.1)
+    risk = TotalVariation(0.3)
+    with pytest.raises(ValueError):
+        _ = risk.matrix_e          # not realized yet
+    realized = risk.for_children([0.5, 0.5])
+    assert realized.matrix_e.shape == (8, 2)
+    assert risk.probs is None      # for_children copies
+
+
+def test_conic_risk_reproduces_avar():
+    """A ConicRisk wrapping avar_conic_form must stack identically to AVaR."""
+    problem_a, _ = demo_problem()
+    problem_c, _ = demo_problem(
+        risk=ConicRisk(lambda pi: avar_conic_form(0.95, pi)))
+    sa = build_stacked(problem_a)
+    sc = build_stacked(problem_c)
+    assert sa.Y == sc.Y and sa.D == sc.D
+    np.testing.assert_allclose(np.asarray(sa.b_pad), np.asarray(sc.b_pad))
+    np.testing.assert_allclose(np.asarray(sa.Pi), np.asarray(sc.Pi))
+    np.testing.assert_array_equal(np.asarray(sa.risk_free_rows),
+                                  np.asarray(sc.risk_free_rows))
+
+
+def test_conic_risk_validation():
+    with pytest.raises(ValueError):
+        ConicRisk("not callable")
+    bad_rows = ConicRisk(lambda pi: ConicForm(
+        np.ones((3, pi.size)), np.ones((2, 0)), None, np.ones((3, 1))))
+    with pytest.raises(ValueError):
+        bad_rows.probs = [0.5, 0.5]
+    not_form = ConicRisk(lambda pi: "nope")
+    with pytest.raises(TypeError):
+        not_form.probs = [0.5, 0.5]
+
+
+def test_soc_risk_cone_rejected():
+    """Risk cones with non-row-wise components are rejected at stacking."""
+    import raocp_tpu.core.constraints.cones as cones
+
+    def soc_form(pi):
+        c = pi.size
+        return ConicForm(np.eye(c), np.empty((c, 0)),
+                         cones.SecondOrderCone(dimension=c),
+                         np.ones((c, 1)))
+
+    problem, _ = demo_problem(risk=ConicRisk(soc_form))
+    with pytest.raises(NotImplementedError):
+        build_stacked(problem)
+
+
+@pytest.fixture(scope="module")
+def tv_spec_and_sp():
+    problem, _ = demo_problem(risk=TotalVariation(0.5))
+    return problem, build_stacked(problem)
+
+
+def test_tv_stacked_layout(tv_spec_and_sp):
+    spec, sp = tv_spec_and_sp
+    tree = spec.tree
+    d = tree.max_branching
+    assert sp.Y == 3 * d + 2
+    assert sp.D == sp.Y + 2 * d
+    b_pad = np.asarray(sp.b_pad)
+    free = np.asarray(sp.risk_free_rows)
+    for i in range(sp.num_nonleaf):
+        c = len(tree.children_of(i))
+        R = 3 * c + 2
+        b = spec.risk_at_node(i).vector_b.reshape(-1)
+        np.testing.assert_allclose(b_pad[i, :R], b)
+        assert (b_pad[i, R:] == 0).all()
+        # the single Zero row (1'mu = 1) is the last real row
+        assert free[i, R - 1] and free[i].sum() == 1
+
+
+def test_tv_operator_adjoint(tv_spec_and_sp):
+    """<L z, eta> = <z, L' eta> with the wider TV dual layout."""
+    import jax
+    import jax.numpy as jnp
+
+    from raocp_tpu.ops.operator import ell, ell_t
+    from util import random_dual, random_primal, tree_dot_np
+
+    _, sp = tv_spec_and_sp
+    rng = np.random.default_rng(11)
+    z = random_primal(sp, rng)
+    eta = random_dual(sp, rng)
+    zj = jax.tree_util.tree_map(jnp.asarray, z)
+    ej = jax.tree_util.tree_map(jnp.asarray, eta)
+    lhs = tree_dot_np(ell(sp, zj), eta)
+    rhs = tree_dot_np(z, ell_t(sp, ej))
+    assert lhs == pytest.approx(rhs, rel=1e-12)
+
+
+def test_tv_kernel_projection_matches_oracle(tv_spec_and_sp):
+    """The precomputed-projector kernel projection equals the null-space
+    lstsq oracle on a problem whose risk has a nonzero F matrix."""
+    import jax.numpy as jnp
+
+    from raocp_tpu.ops.prox import project_kernel
+    from util import kernel_projection_oracle, random_primal
+
+    spec, sp = tv_spec_and_sp
+    rng = np.random.default_rng(12)
+    z = random_primal(sp, rng)
+    y_new, tau_new, s_new = project_kernel(
+        sp, jnp.asarray(z.y), jnp.asarray(z.tau), jnp.asarray(z.s))
+    y_new, tau_new, s_new = map(np.asarray, (y_new, tau_new, s_new))
+    rows = [spec.risk_at_node(i).matrix_e.shape[0]
+            for i in range(sp.num_nonleaf)]
+    y_unpadded = [np.asarray(z.y[i][:rows[i]])
+                  for i in range(sp.num_nonleaf)]
+    y_ref, tau_ref, s_ref = kernel_projection_oracle(
+        spec, y_unpadded, np.asarray(z.tau), np.asarray(z.s))
+    np.testing.assert_allclose(tau_new, tau_ref, atol=1e-9)
+    np.testing.assert_allclose(s_new, s_ref, atol=1e-9)
+    for i in range(sp.num_nonleaf):
+        np.testing.assert_allclose(y_new[i][:rows[i]], y_ref[i], atol=1e-9)
+        if rows[i] < sp.Y:
+            assert np.abs(y_new[i][rows[i]:]).max() == 0
+
+
+def test_tv_solve_end_to_end():
+    """TV-risk demo problem: converges; the solution is dynamics- and
+    kernel-feasible; risk-neutral (radius 0) and AVaR(1) solves coincide
+    (both are the expectation), and tightening the radius is monotone in
+    the risk-averse direction (not cheaper than risk-neutral)."""
+    from raocp_tpu.solver import Solver
+
+    problem_tv, x0 = demo_problem(risk=TotalVariation(0.5))
+    solver = Solver(problem_tv)
+    res = solver.solve(x0, max_iters=6000, tol=1e-3)
+    assert res.converged
+    checks = solver.validate()
+    assert checks["dynamics"] < 1e-8
+    assert checks["kernel"] < 1e-8
+
+    problem_0, _ = demo_problem(risk=TotalVariation(0.0))
+    problem_e, _ = demo_problem(risk=AVaR(1.0))
+    res_0 = Solver(problem_0).solve(x0, max_iters=6000, tol=1e-4)
+    res_e = Solver(problem_e).solve(x0, max_iters=6000, tol=1e-4)
+    assert res_0.converged and res_e.converged
+    np.testing.assert_allclose(np.asarray(res_0.primal.x),
+                               np.asarray(res_e.primal.x), atol=2e-3)
+    np.testing.assert_allclose(np.asarray(res_0.primal.u),
+                               np.asarray(res_e.primal.u), atol=2e-3)

@@ -79,7 +79,7 @@ def test_kernel_projector_properties(spec_and_sp):
         zeros = np.zeros((risk.matrix_f.shape[1], c))
         M = np.vstack((np.hstack((risk.matrix_e.T, -eye, -eye)),
                        np.hstack((risk.matrix_f.T, zeros, zeros))))
-        emb = np.concatenate((np.arange(2 * c), [2 * d],
+        emb = np.concatenate((np.arange(risk.matrix_e.shape[0]),
                               Y + np.arange(c), Y + d + np.arange(c)))
         M_pad = np.zeros((M.shape[0], sp.D))
         M_pad[:, emb] = M
@@ -115,12 +115,18 @@ def test_stacked_layouts(spec_and_sp):
     tree = spec.tree
     b_pad = np.asarray(sp.b_pad)
     y_mask = np.asarray(sp.y_mask)
+    risk_free = np.asarray(sp.risk_free_rows)
+    risk_zero = np.asarray(sp.risk_zero_rows)
     for i in range(sp.num_nonleaf):
         c = len(tree.children_of(i))
         b = spec.risk_at_node(i).vector_b.reshape(-1)
-        np.testing.assert_allclose(b_pad[i, :2 * c], b[:2 * c])
-        assert b_pad[i, 2 * sp.d_max] == b[2 * c]
+        # natural row order: AVaR rows [pi; 0_c; 1] occupy slots [0, 2c+1)
+        np.testing.assert_allclose(b_pad[i, :2 * c + 1], b)
+        assert (b_pad[i, 2 * c + 1:] == 0).all()
         assert y_mask[i].sum() == 2 * c + 1
+        # AVaR cone NnOC(2c) x Zero(1): the Zero row sits at slot 2c
+        assert risk_free[i, 2 * c] and risk_free[i].sum() == 1
+        assert not risk_zero[i].any()
     # dynamics stacked correctly
     A = np.asarray(sp.A)
     B = np.asarray(sp.B)

@@ -112,9 +112,10 @@ def kernel_projection_oracle(spec, y, tau, s):
         full = np.concatenate([y[i], tau[children], s[children]])
         proj = ns @ np.linalg.lstsq(ns, full, rcond=None)[0]
         assert np.linalg.norm(M @ proj, np.inf) < 1e-9
-        y_new[i] = proj[:2 * c + 1]
-        tau_new[children] = proj[2 * c + 1: 3 * c + 1]
-        s_new[children] = proj[3 * c + 1:]
+        R = risk.matrix_e.shape[0]
+        y_new[i] = proj[:R]
+        tau_new[children] = proj[R: R + c]
+        s_new[children] = proj[R + c:]
     return y_new, tau_new, s_new
 
 
