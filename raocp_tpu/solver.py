@@ -329,7 +329,8 @@ class Solver:
               accel: Optional[str] = None,
               accel_memory: int = 5,
               check_every: int = 1,
-              unroll: int = 1) -> SolverResult:
+              unroll: int = 1,
+              step_ratio: float = 1.0) -> SolverResult:
         """Run Chambolle-Pock with the given initial state.
 
         :param alpha: overrides the 0.999/lambda_max(L'L) step rule
@@ -355,6 +356,13 @@ class Solver:
             to k-1 iterations. Plain CP only (ignored under ``accel``).
         :param unroll: CP steps per device-loop trip (must divide
             ``check_every``); amortises loop bookkeeping. Plain CP only.
+        :param step_ratio: primal/dual step balancing gamma: runs with
+            alpha1 = gamma * alpha, alpha2 = alpha / gamma — the product
+            alpha1 * alpha2 (what CP convergence constrains) is unchanged,
+            so any gamma > 0 converges, but a well-chosen ratio can cut the
+            iteration count substantially on badly scaled problems (the
+            reference hardwires gamma = 1, ``solver.py:114-118``). Plain CP
+            only (ignored under ``accel``).
         """
         sp = self.__stacked
         x0_np = np.asarray(initial_state, dtype=np.float64).reshape(-1)
@@ -381,11 +389,15 @@ class Solver:
         profiler_cm = (jax.profiler.trace(profile_dir) if profile_dir
                        else contextlib.nullcontext())
         tic = time.perf_counter()
+        if step_ratio <= 0.0:
+            raise ValueError(f"step_ratio must be positive, got {step_ratio}")
         with profiler_cm:
             if accel is None:
                 z, eta, iters, err, hist = _run_cp(
-                    sp, z0, eta0, x0, jnp.asarray(alpha, sp.dtype),
-                    jnp.asarray(alpha, sp.dtype), jnp.asarray(tol, sp.dtype),
+                    sp, z0, eta0, x0,
+                    jnp.asarray(alpha * step_ratio, sp.dtype),
+                    jnp.asarray(alpha / step_ratio, sp.dtype),
+                    jnp.asarray(tol, sp.dtype),
                     max_iters, log_every, check_every, unroll)
             elif accel == "anderson":
                 from raocp_tpu.accel import run_cp_anderson

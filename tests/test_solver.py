@@ -161,3 +161,19 @@ def test_supermann_acceleration_converges_faster():
     assert dx < 1e-2
     v = solver.validate(acc)
     assert v["dynamics"] < 1e-8 and v["kernel"] < 1e-8
+
+
+def test_step_ratio_balancing():
+    """alpha1 = gamma*alpha, alpha2 = alpha/gamma keeps the CP convergence
+    product alpha1*alpha2 unchanged: any gamma > 0 converges; gamma != 1
+    produces a different (still convergent) iterate sequence; gamma = 1 is
+    the reference rule (the 937-parity test covers it)."""
+    problem, x0 = demo_problem()
+    solver = Solver(problem)
+    res = solver.solve(x0, max_iters=5000, tol=1e-3, step_ratio=2.0)
+    assert res.converged
+    assert res.num_iters != 937        # different sequence
+    checks = solver.validate()
+    assert checks["dynamics"] < 1e-8 and checks["kernel"] < 1e-8
+    with pytest.raises(ValueError):
+        solver.solve(x0, max_iters=10, tol=1e-3, step_ratio=0.0)
