@@ -516,15 +516,26 @@ def _stacked_stage_weights(mm: Optional[ModalMatrix], patterns, dtype):
         return none, none
     modes = np.asarray(mm.modes, dtype=np.float64)
     fwd, bwd = [], []
+    cache = {}
     for pat in patterns:
         if pat is None:
             fwd.append(None)
             bwd.append(None)
         else:
-            fwd.append(jnp.asarray(
-                np.stack([modes[p].T for p in pat], axis=1), dtype))
-            bwd.append(jnp.asarray(
-                np.stack([modes[p] for p in pat], axis=0), dtype))
+            # one shared array object per distinct pattern: consecutive
+            # stages with identical blocks are then groupable by identity
+            # into a single whole-range contraction (ops/operator.py
+            # stage_groups) — on fully uniform trees the per-stage loops
+            # collapse to ONE op over all nodes
+            if pat not in cache:
+                cache[pat] = (
+                    jnp.asarray(
+                        np.stack([modes[p].T for p in pat], axis=1), dtype),
+                    jnp.asarray(
+                        np.stack([modes[p] for p in pat], axis=0), dtype))
+            f, b = cache[pat]
+            fwd.append(f)
+            bwd.append(b)
     return tuple(fwd), tuple(bwd)
 
 

@@ -23,7 +23,41 @@ from raocp_tpu.core.stacked import StackedProblem
 from raocp_tpu.core.variables import Primal, Dual
 
 __all__ = ["ell", "ell_t", "sum_over_children", "parent_expand", "repad",
-           "flat_linops"]
+           "stage_groups", "flat_linops"]
+
+
+def stage_groups(sp: StackedProblem, same):
+    """Yield (k0, k1) maximal runs of consecutive nonleaf stages with
+    ``same(k0, k) for k in (k0, k1)``.
+
+    Stage-major node ordering makes a run's parents [ss[k0], ss[k1]) and
+    children [ss[k0+1], ss[k1+1]) contiguous, so any per-stage batched op
+    whose parameters coincide across the run (same child count, same
+    stage-stacked mode block) applies to the whole run as ONE op — on a
+    fully uniform tree every stage loop here collapses to a single
+    whole-tree contraction (one op instead of num_stages; the per-op
+    launch overhead inside the solver loop was ~30% of iteration time on
+    the 9841-node benchmark before grouping)."""
+    ns = sp.num_stages - 1
+    k = 0
+    while k < ns:
+        k1 = k + 1
+        while k1 < ns and same(k, k1):
+            k1 += 1
+        yield k, k1
+        k = k1
+
+
+def _same_weight(table):
+    """Group predicate: stages share one (non-None) stage-stacked mode
+    block object (build_stacked interns them per distinct pattern)."""
+    return lambda k0, k: table[k0] is not None and table[k] is table[k0]
+
+
+def _same_child(sp: StackedProblem):
+    """Group predicate: stages have the same uniform child count."""
+    return lambda k0, k: (sp.stage_child[k0] is not None
+                          and sp.stage_child[k] == sp.stage_child[k0])
 
 
 def repad(arr, rows: int):
@@ -49,14 +83,14 @@ def sum_over_children(sp: StackedProblem, w):
     sum)."""
     ss = sp.stage_start
     parts = []
-    for k in range(sp.num_stages - 1):
-        a, b = ss[k], ss[k + 1]
-        a2, b2 = ss[k + 1], ss[k + 2]
+    for k0, k1 in stage_groups(sp, _same_child(sp)):
+        a, b = ss[k0], ss[k1]
+        a2, b2 = ss[k0 + 1], ss[k1 + 1]
         wk = w[a2:b2]
-        c = sp.stage_child[k]
+        c = sp.stage_child[k0]
         if c is not None:
             parts.append(wk.reshape((b - a, c) + wk.shape[1:]).sum(axis=1))
-        else:
+        else:                      # single ragged stage (k1 == k0 + 1)
             rel = jnp.clip(sp.child_idx[a:b] - a2, 0, b2 - a2 - 1)
             mask = sp.child_mask[a:b]
             mask = mask.reshape(mask.shape + (1,) * (wk.ndim - 1))
@@ -75,13 +109,13 @@ def parent_expand(sp: StackedProblem, v, rows: int):
     stages gather the stage slice."""
     ss = sp.stage_start
     parts = [jnp.zeros((1,) + v.shape[1:], v.dtype)]
-    for k in range(sp.num_stages - 1):
-        a, b = ss[k], ss[k + 1]
-        a2, b2 = ss[k + 1], ss[k + 2]
-        c = sp.stage_child[k]
+    for k0, k1 in stage_groups(sp, _same_child(sp)):
+        a, b = ss[k0], ss[k1]
+        a2, b2 = ss[k0 + 1], ss[k1 + 1]
+        c = sp.stage_child[k0]
         if c is not None:
             parts.append(jnp.repeat(v[a:b], c, axis=0))
-        else:
+        else:                      # single ragged stage
             parts.append(v[sp.anc[a2:b2]])
     tail = rows - ss[sp.num_stages]
     if tail:
@@ -98,20 +132,22 @@ def ell(sp: StackedProblem, z: Primal) -> Dual:
     e1 = z.y
     e2 = repad(z.s[:NL], sp.nl_pad) - jnp.sum(sp.b_pad * z.y, axis=1)
     if sp.QRm is not None and any(w is not None for w in sp.qr_fwd):
-        # per-stage stacked mode blocks: parent-expand + modal matvec +
-        # mode select per stage collapse to one dense matmul each
+        # stage-stacked mode blocks: parent-expand + modal matvec + mode
+        # select collapse to one dense matmul per GROUP of consecutive
+        # stages sharing the block (one matmul for the whole tree when the
+        # branching/mode pattern is uniform — see stage_groups)
         ss = sp.stage_start
         F = sp.n + sp.m
         parts = [jnp.zeros((1, F), sp.dtype)]              # root row
-        for k in range(sp.num_stages - 1):
-            a, b = ss[k], ss[k + 1]
-            a2, b2 = ss[k + 1], ss[k + 2]
-            if sp.qr_fwd[k] is not None:
-                e3d = jax.lax.dot_general(xu[a:b], sp.qr_fwd[k],
+        for k0, k1 in stage_groups(sp, _same_weight(sp.qr_fwd)):
+            a, b = ss[k0], ss[k1]
+            a2, b2 = ss[k0 + 1], ss[k1 + 1]
+            if sp.qr_fwd[k0] is not None:
+                e3d = jax.lax.dot_general(xu[a:b], sp.qr_fwd[k0],
                                           (((1,), (0,)), ((), ())))
                 parts.append(e3d.reshape(b2 - a2, F))
-            else:
-                c = sp.stage_child[k]
+            else:                  # single non-uniform stage (k1 == k0 + 1)
+                c = sp.stage_child[k0]
                 xu_par = (jnp.repeat(xu[a:b], c, axis=0) if c is not None
                           else xu[a:b][sp.anc[a2:b2] - a])
                 parts.append(sp.QRm.slice_rows(a2, b2).matvec(xu_par))
@@ -150,24 +186,24 @@ def ell_t(sp: StackedProblem, eta: Dual) -> Primal:
     # x/u contributions from the SOC heads, summed back over children —
     # fused: one blockdiag rmatvec + one child reduction over [N, n+m]
     if sp.QRm is not None and any(w is not None for w in sp.qr_bwd):
-        # per-stage stacked mode blocks: rmatvec + select + child-sum in
-        # one dense matmul per stage
+        # stage-stacked mode blocks: rmatvec + select + child-sum in one
+        # dense matmul per GROUP of consecutive stages sharing the block
         ss = sp.stage_start
         F = sp.n + sp.m
         e34 = jnp.concatenate([eta.e3, eta.e4], axis=1)
         parts = []
-        for k in range(sp.num_stages - 1):
-            a, b = ss[k], ss[k + 1]
-            a2, b2 = ss[k + 1], ss[k + 2]
+        for k0, k1 in stage_groups(sp, _same_weight(sp.qr_bwd)):
+            a, b = ss[k0], ss[k1]
+            a2, b2 = ss[k0 + 1], ss[k1 + 1]
             blk = e34[a2:b2]
-            if sp.qr_bwd[k] is not None:
-                c = sp.stage_child[k]
+            if sp.qr_bwd[k0] is not None:
+                c = sp.stage_child[k0]
                 parts.append(jax.lax.dot_general(
-                    blk.reshape(b - a, c, F), sp.qr_bwd[k],
+                    blk.reshape(b - a, c, F), sp.qr_bwd[k0],
                     (((1, 2), (0, 1)), ((), ()))))
-            else:
+            else:                  # single non-uniform stage (k1 == k0 + 1)
                 w = sp.QRm.slice_rows(a2, b2).rmatvec(blk)
-                c = sp.stage_child[k]
+                c = sp.stage_child[k0]
                 if c is not None:
                     parts.append(w.reshape(b - a, c, F).sum(axis=1))
                 else:

@@ -151,21 +151,25 @@ def project_dynamics(sp: StackedProblem, x_in, u_in, x0):
 
 def _gather_child_slots(sp: StackedProblem, v):
     """[np_pad] node values -> [nl_pad, d_max] per-parent child-slot table
-    (zero-padded slots). Uniform stages reshape; ragged stages gather."""
+    (zero-padded slots). Uniform stage GROUPS reshape (one op per run of
+    stages with equal child count — see ops.operator.stage_groups); ragged
+    stages gather."""
+    from raocp_tpu.ops.operator import _same_child, stage_groups
+
     ss = sp.stage_start
     d = sp.d_max
     parts = []
-    for k in range(sp.num_stages - 1):
-        a, b = ss[k], ss[k + 1]
-        a2, b2 = ss[k + 1], ss[k + 2]
-        c = sp.stage_child[k]
+    for k0, k1 in stage_groups(sp, _same_child(sp)):
+        a, b = ss[k0], ss[k1]
+        a2, b2 = ss[k0 + 1], ss[k1 + 1]
+        c = sp.stage_child[k0]
         if c is not None:
             blk = v[a2:b2].reshape(b - a, c)
             if c < d:
                 blk = jnp.concatenate(
                     [blk, jnp.zeros((b - a, d - c), v.dtype)], axis=1)
             parts.append(blk)
-        else:
+        else:                      # single ragged stage
             parts.append(v[sp.child_idx[a:b]] * sp.child_mask[a:b])
     tail = sp.nl_pad - sp.num_nonleaf
     if tail:
@@ -176,15 +180,17 @@ def _gather_child_slots(sp: StackedProblem, v):
 def _scatter_parent_slots(sp: StackedProblem, w, orig):
     """[nl_pad, d_max] per-parent slot table -> [np_pad] node values: node j
     reads slot child_rank[j] of its parent; root/padding keep ``orig``."""
+    from raocp_tpu.ops.operator import _same_child, stage_groups
+
     ss = sp.stage_start
     parts = [orig[:1]]
-    for k in range(sp.num_stages - 1):
-        a, b = ss[k], ss[k + 1]
-        a2, b2 = ss[k + 1], ss[k + 2]
-        c = sp.stage_child[k]
+    for k0, k1 in stage_groups(sp, _same_child(sp)):
+        a, b = ss[k0], ss[k1]
+        a2, b2 = ss[k0 + 1], ss[k1 + 1]
+        c = sp.stage_child[k0]
         if c is not None:
             parts.append(w[a:b, :c].reshape(-1))
-        else:
+        else:                      # single ragged stage
             parts.append(w[sp.anc[a2:b2], sp.child_rank[a2:b2]])
     tail = sp.np_pad - ss[sp.num_stages]
     if tail:
