@@ -21,7 +21,7 @@ from scipy.linalg import sqrtm
 import raocp_tpu.core.constraints.cones as cones
 
 __all__ = ["NodeKind", "Node", "Nonleaf", "Leaf", "Dynamics", "Quadratic",
-           "ConicForm", "avar_conic_form", "AVaR",
+           "ConicForm", "avar_conic_form", "AVaR", "max_over_ambiguity",
            "tv_conic_form", "TotalVariation", "ConicRisk"]
 
 
@@ -179,6 +179,50 @@ class ConicForm(NamedTuple):
     vector_b: np.ndarray
 
 
+def max_over_ambiguity(form: ConicForm, z) -> float:
+    """rho(z) = max { z'mu : exists nu, b - E mu - F nu in K } by linear
+    programming (host-side; scipy HiGHS). K rows are read from the cone
+    components: NnOC rows become inequalities, Zero rows equalities, Real
+    rows are dropped (unconstrained). This is the risk value of the random
+    outcome ``z`` under the ambiguity set — the quantity the solver's
+    epigraph recursion bounds (s_i >= rho_i(tau_children + s_children))."""
+    import scipy.optimize
+
+    z = np.asarray(z, dtype=np.float64).reshape(-1)
+    E, F = form.matrix_e, form.matrix_f
+    b = form.vector_b.reshape(-1)
+    c, w = E.shape[1], F.shape[1]
+    if z.size != c:
+        raise ValueError(f"risk outcome has {z.size} entries, ambiguity set "
+                         f"has {c}")
+    comps = (form.cone.cones if isinstance(form.cone, cones.Cartesian)
+             else [form.cone])
+    kinds = []
+    for comp in comps:
+        if isinstance(comp, cones.NonnegativeOrthant):
+            kinds.extend(["ub"] * comp.dimension)
+        elif isinstance(comp, cones.Zero):
+            kinds.extend(["eq"] * comp.dimension)
+        elif isinstance(comp, cones.Real):
+            kinds.extend(["free"] * comp.dimension)
+        else:
+            raise NotImplementedError(
+                f"LP risk evaluation supports NnOC/Zero/Real cone rows, "
+                f"got {type(comp).__name__}")
+    kinds = np.asarray(kinds)
+    G = np.hstack([E, F])
+    ub = kinds == "ub"
+    eq = kinds == "eq"
+    res = scipy.optimize.linprog(
+        c=-np.concatenate([z, np.zeros(w)]),
+        A_ub=G[ub] if ub.any() else None, b_ub=b[ub] if ub.any() else None,
+        A_eq=G[eq] if eq.any() else None, b_eq=b[eq] if eq.any() else None,
+        bounds=[(None, None)] * (c + w), method="highs")
+    if not res.success:
+        raise RuntimeError(f"risk-evaluation LP failed: {res.message}")
+    return float(-res.fun)
+
+
 def avar_conic_form(alpha: float, child_probs) -> ConicForm:
     """Realize the AVaR_alpha ambiguity set for given child probabilities.
 
@@ -257,6 +301,11 @@ class AVaR:
     def vector_b(self) -> np.ndarray:
         return self._realized().vector_b
 
+    def evaluate(self, z) -> float:
+        """The risk value rho(z) of a per-child outcome vector z (requires
+        realized :attr:`probs`). See :func:`max_over_ambiguity`."""
+        return max_over_ambiguity(self._realized(), z)
+
     def __str__(self) -> str:
         cone = "unrealized" if self._conic is None else self._conic.cone.types
         return (f"Risk item; type: {type(self).__name__}, "
@@ -325,6 +374,11 @@ class _ConicRiskBase:
     @property
     def vector_b(self) -> np.ndarray:
         return self._realized().vector_b
+
+    def evaluate(self, z) -> float:
+        """The risk value rho(z) of a per-child outcome vector z (requires
+        realized :attr:`probs`). See :func:`max_over_ambiguity`."""
+        return max_over_ambiguity(self._realized(), z)
 
     def __str__(self) -> str:
         cone = "unrealized" if self._conic is None else self._conic.cone.types

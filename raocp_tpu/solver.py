@@ -55,6 +55,16 @@ class SolverResult:
         return self.status == 0
 
     @property
+    def objective(self) -> float:
+        """The optimal cost: the root epigraph variable s_0 of the nested
+        risk recursion (the CP objective is min <e_{s_0}, z>; reference
+        ``cache.py:253-257`` takes the same gradient step on s_0 but never
+        surfaces the value). At convergence this equals the risk-recursive
+        evaluation of the returned trajectory (tested against an
+        independent host-side recursion in tests/test_solver.py)."""
+        return float(np.asarray(self.primal.s)[0])
+
+    @property
     def iters_per_second(self) -> float:
         return self.num_iters / self.solve_time if self.solve_time else 0.0
 

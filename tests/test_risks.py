@@ -265,3 +265,23 @@ def test_tv_solve_end_to_end():
                                np.asarray(res_e.primal.x), atol=2e-3)
     np.testing.assert_allclose(np.asarray(res_0.primal.u),
                                np.asarray(res_e.primal.u), atol=2e-3)
+
+
+def test_risk_evaluate_api():
+    """risk.evaluate(z) (the library's LP) agrees with the test-local LP
+    and the greedy TV oracle; AVaR limits sanity-check it too."""
+    pi = np.array([0.3, 0.45, 0.25])
+    tv = TotalVariation(0.4).for_children(pi)
+    av = AVaR(0.95).for_children(pi)
+    for _ in range(5):
+        z = RNG.standard_normal(3)
+        assert tv.evaluate(z) == pytest.approx(
+            _tv_robust_expectation(z, pi, 0.4), abs=1e-8)
+        assert tv.evaluate(z) == pytest.approx(
+            _max_over_conic_form(tv_conic_form(0.4, pi), z), abs=1e-8)
+        assert av.evaluate(z) == pytest.approx(
+            _max_over_conic_form(avar_conic_form(0.95, pi), z), abs=1e-8)
+    assert AVaR(1.0).for_children(pi).evaluate(z) == pytest.approx(
+        float(pi @ z), abs=1e-9)
+    assert AVaR(0.0).for_children(pi).evaluate(z) == pytest.approx(
+        float(z.max()), abs=1e-9)

@@ -177,3 +177,30 @@ def test_step_ratio_balancing():
     assert checks["dynamics"] < 1e-8 and checks["kernel"] < 1e-8
     with pytest.raises(ValueError):
         solver.solve(x0, max_iters=10, tol=1e-3, step_ratio=0.0)
+
+
+def test_objective_matches_risk_recursion(demo_result):
+    """result.objective (the root epigraph variable s_0) must equal an
+    independent host-side evaluation of the nested risk-recursive cost of
+    the returned trajectory (LP per node over the ambiguity set) — an
+    end-to-end oracle of the whole conic epigraph formulation. The
+    reference never surfaces the optimal cost (its cost evaluator is dead
+    code, costs.py:65-87)."""
+    from raocp_tpu.utils.evaluate import risk_value
+
+    problem, _, result = demo_result
+    v0 = risk_value(problem, result.primal.x, result.primal.u)
+    assert result.objective == pytest.approx(v0, abs=2e-2, rel=1e-2)
+
+
+def test_objective_matches_risk_recursion_tv():
+    """Same oracle with a TotalVariation risk (nonzero F ambiguity set)."""
+    from raocp_tpu.models import demo_problem as _demo
+    from raocp_tpu import TotalVariation
+    from raocp_tpu.utils.evaluate import risk_value
+
+    problem, x0 = _demo(risk=TotalVariation(0.5))
+    result = Solver(problem).solve(x0, max_iters=8000, tol=1e-4)
+    assert result.converged
+    v0 = risk_value(problem, result.primal.x, result.primal.u)
+    assert result.objective == pytest.approx(v0, abs=2e-2, rel=1e-2)
