@@ -13,7 +13,8 @@ Capability parity target: smokinmirror/raocp-toolbox (see reference
 from raocp_tpu.core.tree import ScenarioTree, MarkovChainScenarioTreeFactory
 from raocp_tpu.core.elements import (Node, Nonleaf, Leaf, NodeKind,
                                      Dynamics, Quadratic, AVaR,
-                                     TotalVariation, ConicRisk, ConicForm)
+                                     TotalVariation, MeanUpperSemideviation,
+                                     ConicRisk, ConicForm)
 from raocp_tpu.core.constraints import (
     Ball,
     Constraint,
@@ -42,6 +43,7 @@ __all__ = [
     "Quadratic",
     "AVaR",
     "TotalVariation",
+    "MeanUpperSemideviation",
     "ConicRisk",
     "ConicForm",
     "Constraint",

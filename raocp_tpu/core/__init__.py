@@ -2,7 +2,8 @@ import raocp_tpu.core.constraints  # noqa: F401
 from raocp_tpu.core.tree import ScenarioTree, MarkovChainScenarioTreeFactory
 from raocp_tpu.core.elements import (Node, Nonleaf, Leaf, NodeKind,
                                      Dynamics, Quadratic, AVaR,
-                                     TotalVariation, ConicRisk, ConicForm)
+                                     TotalVariation, MeanUpperSemideviation,
+                                     ConicRisk, ConicForm)
 from raocp_tpu.core.spec import RAOCP
 from raocp_tpu.core.stacked import StackedProblem, build_stacked
 from raocp_tpu.core.variables import Primal, Dual
@@ -18,6 +19,7 @@ __all__ = [
     "Quadratic",
     "AVaR",
     "TotalVariation",
+    "MeanUpperSemideviation",
     "ConicRisk",
     "ConicForm",
     "RAOCP",

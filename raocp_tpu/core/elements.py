@@ -22,7 +22,8 @@ import raocp_tpu.core.constraints.cones as cones
 
 __all__ = ["NodeKind", "Node", "Nonleaf", "Leaf", "Dynamics", "Quadratic",
            "ConicForm", "avar_conic_form", "AVaR", "max_over_ambiguity",
-           "tv_conic_form", "TotalVariation", "ConicRisk"]
+           "tv_conic_form", "TotalVariation",
+           "msd_conic_form", "MeanUpperSemideviation", "ConicRisk"]
 
 
 # ---------------------------------------------------------------------------
@@ -449,6 +450,66 @@ class TotalVariation(_ConicRiskBase):
         cone = "unrealized" if self._conic is None else self._conic.cone.types
         return (f"Risk item; type: {type(self).__name__}, "
                 f"radius: {self._radius}; cone: {cone}")
+
+    __repr__ = __str__
+
+
+def msd_conic_form(beta: float, child_probs) -> ConicForm:
+    """Realize the mean-upper-semideviation ambiguity set.
+
+    ``rho(Z) = E[Z] + beta * E[(Z - E[Z])_+]`` (coherent for beta in
+    [0, 1]) has the dual representation ``A = { mu = pi o (1 + h - <pi,h>)
+    : 0 <= h <= beta }`` (Shapiro/Dentcheva/Ruszczynski, Lectures on
+    Stochastic Programming, ex. 6.20). With auxiliary variables nu = h the
+    conic form (same convention as :func:`avar_conic_form`) is
+
+      mu - pi o h + pi <pi, h> = pi      (c Zero rows: E = I,
+                                          F = -diag(pi) + pi pi')
+      -h <= 0 ;  h <= beta               (2c NnOC rows, E = 0)
+
+    Zero rows come FIRST here (AVaR/TV put them last) — exercising that
+    the stacked layout is truly row-kind-mask driven, not position-driven.
+    """
+    pi = np.asarray(child_probs, dtype=np.float64).reshape(-1)
+    c = pi.size
+    eye_c = np.eye(c)
+    zeros_cc = np.zeros((c, c))
+    matrix_e = np.concatenate([eye_c, zeros_cc, zeros_cc], axis=0)
+    matrix_f = np.concatenate(
+        [-np.diag(pi) + np.outer(pi, pi), -eye_c, eye_c], axis=0)
+    cone = cones.Cartesian([cones.Zero(dimension=c),
+                            cones.NonnegativeOrthant(dimension=2 * c)])
+    vector_b = np.concatenate(
+        [pi, np.zeros(c), np.full(c, float(beta))]).reshape(-1, 1)
+    return ConicForm(matrix_e, matrix_f, cone, vector_b)
+
+
+class MeanUpperSemideviation(_ConicRiskBase):
+    """Mean-upper-semideviation risk ``E[Z] + beta * E[(Z - E[Z])_+]``.
+
+    Coherent for ``beta`` in [0, 1]; beta = 0 is the expectation. A
+    capability beyond the reference (which ships only AVaR), with a
+    closed-form oracle used in tests.
+    """
+
+    def __init__(self, beta: float):
+        if not 0.0 <= beta <= 1.0:
+            raise ValueError(
+                f"semideviation weight must lie in [0, 1], got {beta}")
+        super().__init__()
+        self._beta = float(beta)
+
+    @property
+    def beta(self) -> float:
+        return self._beta
+
+    def _make_form(self, child_probs: np.ndarray) -> ConicForm:
+        return msd_conic_form(self._beta, child_probs)
+
+    def __str__(self) -> str:
+        cone = "unrealized" if self._conic is None else self._conic.cone.types
+        return (f"Risk item; type: {type(self).__name__}, "
+                f"beta: {self._beta}; cone: {cone}")
 
     __repr__ = __str__
 

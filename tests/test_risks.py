@@ -285,3 +285,58 @@ def test_risk_evaluate_api():
         float(pi @ z), abs=1e-9)
     assert AVaR(0.0).for_children(pi).evaluate(z) == pytest.approx(
         float(z.max()), abs=1e-9)
+
+
+def _msd_closed_form(z, pi, beta) -> float:
+    """Closed-form mean-upper-semideviation: E[Z] + beta E[(Z - E[Z])_+]."""
+    z = np.asarray(z, dtype=float)
+    mean = float(pi @ z)
+    return mean + beta * float(pi @ np.maximum(z - mean, 0.0))
+
+
+def test_msd_conic_form_matches_closed_form():
+    """The LP over the MSD ambiguity set equals the closed form, and the
+    library evaluate() agrees; beta = 0 is the expectation."""
+    from raocp_tpu.core.elements import (MeanUpperSemideviation,
+                                         msd_conic_form)
+
+    for c in (2, 3, 5):
+        pi = RNG.random(c) + 0.05
+        pi /= pi.sum()
+        for beta in (0.0, 0.3, 1.0):
+            form = msd_conic_form(beta, pi)
+            risk = MeanUpperSemideviation(beta).for_children(pi)
+            for _ in range(5):
+                z = RNG.standard_normal(c)
+                want = _msd_closed_form(z, pi, beta)
+                assert _max_over_conic_form(form, z) == pytest.approx(
+                    want, abs=1e-8)
+                assert risk.evaluate(z) == pytest.approx(want, abs=1e-8)
+    with pytest.raises(ValueError):
+        MeanUpperSemideviation(1.5)
+
+
+def test_msd_solve_end_to_end():
+    """MSD-risk demo: converges, feasible, objective matches the
+    independent risk recursion, and beta = 0 coincides with AVaR(1)
+    (both are the expectation)."""
+    from raocp_tpu import MeanUpperSemideviation
+    from raocp_tpu.solver import Solver
+    from raocp_tpu.utils.evaluate import risk_value
+
+    problem, x0 = demo_problem(risk=MeanUpperSemideviation(0.6))
+    solver = Solver(problem)
+    res = solver.solve(x0, max_iters=8000, tol=1e-4)
+    assert res.converged
+    checks = solver.validate()
+    assert checks["dynamics"] < 1e-8 and checks["kernel"] < 1e-8
+    v0 = risk_value(problem, res.primal.x, res.primal.u)
+    assert res.objective == pytest.approx(v0, abs=2e-2, rel=1e-2)
+
+    problem_0, _ = demo_problem(risk=MeanUpperSemideviation(0.0))
+    problem_e, _ = demo_problem(risk=AVaR(1.0))
+    res_0 = Solver(problem_0).solve(x0, max_iters=6000, tol=1e-4)
+    res_e = Solver(problem_e).solve(x0, max_iters=6000, tol=1e-4)
+    assert res_0.converged and res_e.converged
+    np.testing.assert_allclose(np.asarray(res_0.primal.x),
+                               np.asarray(res_e.primal.x), atol=2e-3)
