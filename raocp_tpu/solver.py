@@ -29,7 +29,8 @@ import numpy as np
 
 from raocp_tpu.core.spec import RAOCP
 from raocp_tpu.core.stacked import StackedProblem, build_stacked
-from raocp_tpu.core.variables import (Dual, Primal, tree_dot, tree_inf_norm)
+from raocp_tpu.core.variables import (Dual, Primal, tree_add, tree_dot,
+                                      tree_inf_norm, tree_sub)
 from raocp_tpu.ops.operator import ell, ell_t
 from raocp_tpu.ops.prox import (g_conj_projections, half_shift_dual,
                                 prox_f, prox_g_conj)
@@ -142,82 +143,69 @@ def _power_iteration(sp: StackedProblem, max_iters: int = 10000,
     return lam, iters
 
 
-def _cp_step_packed(sp: StackedProblem, packers, pz, peta, plz, plt,
-                    alpha1, alpha2, x0):
-    """One Chambolle-Pock step on FLAT-PACKED iterates (no residuals).
+def _cp_step(sp: StackedProblem, z, eta, Lz, Lt, alpha1, alpha2, x0):
+    """One Chambolle-Pock step on primal/dual PYTREES (no residuals).
 
-    The iteration is op-launch-bound on the many small per-leaf arrays, so
-    all linear combinations, Moreau combines, and norms run on single packed
-    vectors (one op each); only the structured maps (operators, projections,
-    DP sweeps) see the unpacked pytree views — which XLA fuses into their
-    consumers. Carries L z and L'eta so one step costs TWO operator applies
-    (the reference uses five, solver.py:27-95; the third apply here is only
-    needed for the xi_0 residual — see :func:`_cp_residuals_packed`).
+    Linear combinations and Moreau arithmetic run per leaf (tree_map) and
+    XLA fuses them into the structured maps that consume them. An earlier
+    design carried FLAT-PACKED iterates so each combination was one op, but
+    packing re-tiles the whole iterate every step ((8, 128) TPU tiling:
+    flattening [rows, cols < 128] leaves is a physical relayout, not a
+    bitcast) — the relayouts cost ~26% of iteration time on the 9841-node
+    benchmark (881 -> 1187 iter/s from this change; iterates identical).
+
+    Carries L z and L'eta so one step costs TWO operator applies (the
+    reference uses five, solver.py:27-95; the third apply here is only
+    needed for the xi_0 residual — see :func:`_cp_residuals`).
     """
-    pack_p, unpack_p, pack_d, unpack_d = packers
+    tmap = jax.tree_util.tree_map
     # primal: z+ = prox_f(z - a1 L'eta)
-    z_new = prox_f(sp, unpack_p(pz - alpha1 * plt), alpha1, x0)
-    pzn = pack_p(z_new)
-    plzn = pack_d(ell(sp, z_new))
-    # dual: eta+ = prox_g*(eta + a2 L(2 z+ - z)) — Moreau arithmetic on the
-    # packed vector, only the projections see the unpacked views
-    shift_p = pack_d(half_shift_dual(sp))        # traced constant
-    mod_p = (peta + alpha2 * (2.0 * plzn - plz)) / alpha2 + shift_p
-    proj = g_conj_projections(sp, unpack_d(mod_p))
-    pen = alpha2 * (mod_p - pack_d(proj))
-    eta_new = unpack_d(pen)
-    pltn = pack_p(ell_t(sp, eta_new))
-    return pzn, pen, plzn, pltn
+    z_new = prox_f(sp, tmap(lambda zi, ti: zi - alpha1 * ti, z, Lt),
+                   alpha1, x0)
+    Lzn = ell(sp, z_new)
+    # dual: eta+ = prox_g*(eta + a2 L(2 z+ - z)) via Moreau; the half-shift
+    # constant is zero on 7 of 11 leaves (XLA folds those adds away)
+    shift = half_shift_dual(sp)
+    mod = Dual(*tmap(
+        lambda e, lzn, lz, s: (e + alpha2 * (2.0 * lzn - lz)) / alpha2 + s,
+        eta, Lzn, Lz, shift))
+    proj = g_conj_projections(sp, mod)
+    eta_new = Dual(*tmap(lambda m, p: alpha2 * (m - p), mod, proj))
+    Ltn = ell_t(sp, eta_new)
+    return z_new, eta_new, Lzn, Ltn
 
 
-def _cp_residuals_packed(sp, packers, pz, pzn, peta, pen, plz, plzn, plt,
-                         pltn, alpha1, alpha2):
+def _cp_residuals(sp, z, zn, eta, en, Lz, Lzn, Lt, Ltn, alpha1, alpha2):
     """The xi_0/1/2 and delta_0/1/2 max-norms of one step (reference
-    solver.py:63-95). Costs ONE extra operator apply (L' of xi_2)."""
-    pack_p, unpack_p, pack_d, unpack_d = packers
-    xi1 = (pz - pzn) / alpha1 - (plt - pltn)
-    xi2 = (peta - pen) / alpha2 + (plzn - plz)
-    xi0 = xi1 + pack_p(ell_t(sp, unpack_d(xi2)))
-    d1 = pzn - pz
-    d2 = pen - peta
-    d0 = d1 - (pltn - plt)
-    # one reduction kernel per variable space instead of six
-    norm_p = jnp.max(jnp.abs(jnp.stack([xi0, xi1, d0, d1])), axis=1)
-    norm_d = jnp.max(jnp.abs(jnp.stack([xi2, d2])), axis=1)
-    err = jnp.stack([norm_p[0], norm_p[1], norm_d[0]])
-    derr = jnp.stack([norm_p[2], norm_p[3], norm_d[1]])
+    solver.py:63-95). Costs ONE extra operator apply (L' of xi_2).
+    Leaf-wise max-abs then max-of-scalars equals the packed inf-norm
+    exactly."""
+    tmap = jax.tree_util.tree_map
+    xi1 = tmap(lambda a, b, c, d: (a - b) / alpha1 - (c - d),
+               z, zn, Lt, Ltn)
+    xi2 = Dual(*tmap(lambda a, b, c, d: (a - b) / alpha2 + (c - d),
+                     eta, en, Lzn, Lz))
+    xi0 = tree_add(xi1, ell_t(sp, xi2))
+    d1 = tree_sub(zn, z)
+    d2 = tree_sub(en, eta)
+    d0 = tmap(lambda a, b, c: a - (b - c), d1, Ltn, Lt)
+    err = jnp.stack([tree_inf_norm(xi0), tree_inf_norm(xi1),
+                     tree_inf_norm(xi2)])
+    derr = jnp.stack([tree_inf_norm(d0), tree_inf_norm(d1),
+                      tree_inf_norm(d2)])
     return err, derr
-
-
-def _cp_iteration_packed(sp: StackedProblem, packers, pz, peta, plz, plt,
-                         alpha1, alpha2, x0):
-    """One full Chambolle-Pock step + residuals on flat-packed iterates
-    (three operator applies total)."""
-    pzn, pen, plzn, pltn = _cp_step_packed(
-        sp, packers, pz, peta, plz, plt, alpha1, alpha2, x0)
-    err, derr = _cp_residuals_packed(
-        sp, packers, pz, pzn, peta, pen, plz, plzn, plt, pltn,
-        alpha1, alpha2)
-    return pzn, pen, plzn, pltn, err, derr
 
 
 @_with_matmul_precision
 def cp_iteration(sp: StackedProblem, z, eta, Lz, LtEta, alpha1, alpha2, x0):
-    """One full Chambolle-Pock step + residuals on primal/dual pytrees.
-
-    Thin wrapper over the packed core (:func:`_cp_iteration_packed`).
-    Returns (z+, eta+, L z+, L'eta+, err, derr) where err/derr are the
-    [xi_0, xi_1, xi_2] / [delta_0, delta_1, delta_2] max-norms.
-    """
-    from raocp_tpu.core.variables import make_packers
-
-    packers = make_packers(sp)
-    pack_p, unpack_p, pack_d, unpack_d = packers
-    pzn, pen, plzn, pltn, err, derr = _cp_iteration_packed(
-        sp, packers, pack_p(z), pack_d(eta), pack_d(Lz), pack_p(LtEta),
-        alpha1, alpha2, x0)
-    return (unpack_p(pzn), unpack_d(pen), unpack_d(plzn), unpack_p(pltn),
-            err, derr)
+    """One full Chambolle-Pock step + residuals on primal/dual pytrees
+    (three operator applies total). Returns (z+, eta+, L z+, L'eta+, err,
+    derr) where err/derr are the [xi_0, xi_1, xi_2] /
+    [delta_0, delta_1, delta_2] max-norms."""
+    zn, en, Lzn, Ltn = _cp_step(sp, z, eta, Lz, LtEta, alpha1, alpha2, x0)
+    err, derr = _cp_residuals(sp, z, zn, eta, en, Lz, Lzn, LtEta, Ltn,
+                              alpha1, alpha2)
+    return zn, en, Lzn, Ltn, err, derr
 
 
 def _log_residuals(k, err):
@@ -245,33 +233,28 @@ def _run_cp(sp: StackedProblem, z0, eta0, x0, alpha1, alpha2, tol,
     loop-carry copies and stopping test over u iterations (u must divide
     check_every, or be 1).
     """
-    from raocp_tpu.core.variables import make_packers
-
     if unroll > 1 and check_every % unroll != 0:
         raise ValueError("unroll must divide check_every")
 
-    packers = make_packers(sp)
-    pack_p, unpack_p, pack_d, unpack_d = packers
-    pz0 = pack_p(Primal(*z0))
-    peta0 = pack_d(Dual(*eta0))
-    plz = pack_d(ell(sp, unpack_p(pz0)))
-    plt = pack_p(ell_t(sp, unpack_d(peta0)))
+    z = Primal(*z0)
+    eta = Dual(*eta0)
+    Lz = ell(sp, z)
+    Lt = ell_t(sp, eta)
     # + unroll slack rows: k advances in steps of unroll and may overshoot
     hist = jnp.zeros((max_iters + unroll, 6), sp.dtype)
     err = jnp.full((3,), jnp.inf, sp.dtype)
     derr = jnp.full((3,), jnp.inf, sp.dtype)
 
     def body(carry):
-        pz, peta, plz, plt, k, err, derr, hist = carry
+        z, eta, Lz, Lt, k, err, derr, hist = carry
         for i in range(unroll):
-            pzn, pen, plzn, pltn = _cp_step_packed(
-                sp, packers, pz, peta, plz, plt, alpha1, alpha2, x0)
+            zn, en, Lzn, Ltn = _cp_step(
+                sp, z, eta, Lz, Lt, alpha1, alpha2, x0)
 
-            def fresh(pz=pz, pzn=pzn, peta=peta, pen=pen, plz=plz,
-                      plzn=plzn, plt=plt, pltn=pltn):
-                return _cp_residuals_packed(
-                    sp, packers, pz, pzn, peta, pen, plz, plzn, plt, pltn,
-                    alpha1, alpha2)
+            def fresh(z=z, zn=zn, eta=eta, en=en, Lz=Lz, Lzn=Lzn, Lt=Lt,
+                      Ltn=Ltn):
+                return _cp_residuals(
+                    sp, z, zn, eta, en, Lz, Lzn, Lt, Ltn, alpha1, alpha2)
 
             if check_every == 1:
                 err, derr = fresh()
@@ -290,8 +273,8 @@ def _run_cp(sp: StackedProblem, z0, eta0, x0, alpha1, alpha2, tol,
                     (k + i) % log_every == 0,
                     lambda: jax.debug.callback(_log_residuals, k + i, err),
                     lambda: None)
-            pz, peta, plz, plt = pzn, pen, plzn, pltn
-        return pz, peta, plz, plt, k + unroll, err, derr, hist
+            z, eta, Lz, Lt = zn, en, Lzn, Ltn
+        return z, eta, Lz, Lt, k + unroll, err, derr, hist
 
     def cond(carry):
         _, _, _, _, k, err, _, _ = carry
@@ -304,9 +287,9 @@ def _run_cp(sp: StackedProblem, z0, eta0, x0, alpha1, alpha2, tol,
             jnp.logical_and(jnp.max(err) > tol,
                             k + unroll < max_iters + 2))
 
-    pz, peta, _, _, iters, err, _, hist = jax.lax.while_loop(
-        cond, body, (pz0, peta0, plz, plt, 0, err, derr, hist))
-    return unpack_p(pz), unpack_d(peta), iters, err, hist[:max_iters + 1]
+    z, eta, _, _, iters, err, _, hist = jax.lax.while_loop(
+        cond, body, (z, eta, Lz, Lt, 0, err, derr, hist))
+    return z, eta, iters, err, hist[:max_iters + 1]
 
 
 class Solver:

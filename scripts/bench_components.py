@@ -44,20 +44,17 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_raocp_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-    from raocp_tpu.core.variables import make_packers
     from raocp_tpu.models import random_network_problem
     from raocp_tpu.ops.operator import ell, ell_t
     from raocp_tpu.ops.prox import (g_conj_projections, project_dynamics,
                                     project_kernel, prox_f)
-    from raocp_tpu.solver import Solver, _cp_iteration_packed
+    from raocp_tpu.solver import Solver, cp_iteration
 
     problem, x0 = random_network_problem(
         num_states=50, num_inputs=20, num_modes=3, num_stages=8,
         stopping_time=8)
     solver = Solver(problem, dtype=jnp.float32, offline="device")
     sp = solver.stacked
-    packers = make_packers(sp)
-    pack_p, unpack_p, pack_d, unpack_d = packers
 
     x0j = jnp.asarray(x0, sp.dtype)
     key = jax.random.PRNGKey(0)
@@ -66,10 +63,9 @@ def main():
         x=jax.random.normal(key, z.x.shape, sp.dtype),
         u=jax.random.normal(key, z.u.shape, sp.dtype))
     eta = ell(sp, z)
-    pz, peta = pack_p(z), pack_d(eta)
     alpha = jnp.asarray(0.01, sp.dtype)
 
-    t_noop = _time(lambda v: (v,), pz)
+    t_noop = _time(lambda v: (v,), z.x)
     t_ell = _time(lambda z: (ell(sp, z),), z)
     t_ellt = _time(lambda e: (ell_t(sp, e),), eta)
     t_dyn = _time(lambda x, u: project_dynamics(sp, x, u, x0j), z.x, z.u)
@@ -77,14 +73,12 @@ def main():
                   z.y, z.tau, z.s)
     t_pf = _time(lambda zz: (prox_f(sp, zz, alpha, x0j),), z)
     t_gp = _time(lambda e: (g_conj_projections(sp, e),), eta)
-    t_norm = _time(lambda v: (jnp.max(jnp.abs(v)) * v,), pz)
+    t_norm = _time(lambda v: (jnp.max(jnp.abs(v)) * v,), z.x)
 
-    def full(pz, peta, plz, plt):
-        return _cp_iteration_packed(sp, packers, pz, peta, plz, plt,
-                                    alpha, alpha, x0j)[:4]
+    def full(z, eta, Lz, Lt):
+        return cp_iteration(sp, z, eta, Lz, Lt, alpha, alpha, x0j)[:4]
 
-    t_full = _time(full, pz, peta, pack_d(ell(sp, z)),
-                   pack_p(ell_t(sp, eta)))
+    t_full = _time(full, z, eta, ell(sp, z), ell_t(sp, eta))
 
     print(f"noop (loop+dep)     {t_noop:8.1f} us")
     print(f"L apply             {t_ell:8.1f} us")
@@ -93,7 +87,7 @@ def main():
     print(f"kernel projection   {t_ker:8.1f} us")
     print(f"prox_f total        {t_pf:8.1f} us")
     print(f"g* projections      {t_gp:8.1f} us")
-    print(f"packed max-norm     {t_norm:8.1f} us")
+    print(f"max-norm            {t_norm:8.1f} us")
     print(f"FULL CP iteration   {t_full:8.1f} us")
     print(f"  (2L' + L + prox_f + g* = "
           f"{2 * t_ellt + t_ell + t_pf + t_gp:8.1f} us)")
