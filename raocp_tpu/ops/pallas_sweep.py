@@ -53,10 +53,16 @@ def sweep_eligible(sp) -> bool:
         return False
     if any(w is None for w in sp.ab_bwd) or any(k is None for k in sp.k_s):
         return False
-    # working set must fit VMEM comfortably (x_in/x_out dominate)
-    vmem_bytes = 4 * (2 * sp.np_pad * sp.n + 2 * sp.nl_pad * sp.m
-                      + sp.np_pad * (sp.n + sp.m))
-    return vmem_bytes < 10 * 2 ** 20
+    # Working set must fit the 16 MB scoped-VMEM stack: x_in/x_out (np*n
+    # each), the q stages (np*n total, all alive through the backward
+    # sweep), u_in/u_out/d (nl*m each), and the stage [x; u] / children
+    # temporaries (~2 * np * (n+m) with Mosaic double buffering). Measured
+    # on the 9841-node 50-state problem the compiler's stack demand is
+    # ~2.3x the naive sum, so apply a 2.5x safety factor — oversized
+    # problems fall back to the XLA path instead of failing to compile.
+    naive = 4 * (3 * sp.np_pad * sp.n + 3 * sp.nl_pad * sp.m
+                 + sp.np_pad * (sp.n + sp.m))
+    return int(2.5 * naive) < 16 * 2 ** 20
 
 
 def _sweep_kernel(sp, x_in_ref, u_in_ref, x0_ref, ab_bwd_refs, ab_fwd_refs,
