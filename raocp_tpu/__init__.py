@@ -19,6 +19,7 @@ from raocp_tpu.core.constraints import (
     Ball,
     Constraint,
     No,
+    Polyhedral,
     Rectangle,
     Real,
     Zero,
@@ -49,6 +50,7 @@ __all__ = [
     "Constraint",
     "Ball",
     "No",
+    "Polyhedral",
     "Rectangle",
     "Real",
     "Zero",

@@ -1,4 +1,5 @@
-from raocp_tpu.core.constraints.sets import Ball, Constraint, No, Rectangle
+from raocp_tpu.core.constraints.sets import (Ball, Constraint, No,
+                                              Polyhedral, Rectangle)
 from raocp_tpu.core.constraints.cones import (
     Real,
     Zero,
@@ -11,6 +12,7 @@ __all__ = [
     "Constraint",
     "Ball",
     "No",
+    "Polyhedral",
     "Rectangle",
     "Real",
     "Zero",

@@ -1,9 +1,13 @@
 """Per-node constraint sets on the stacked ``[x; u]`` (nonleaf) / ``x`` (leaf)
-vector: No (absent), Rectangle (box) and Ball (Euclidean norm ball).
+vector: No (absent), Rectangle (box), Ball (Euclidean norm ball) and
+Polyhedral (general ``lb <= G v <= ub``).
 
 Capability parity with the reference's constraint layer
 (``raocp/core/constraints/base_constraint.py``, ``rectangle.py``,
-``no_constraint.py``; Ball is a new capability for BASELINE config 3),
+``no_constraint.py``; Ball is a new capability for BASELINE config 3, and
+Polyhedral delivers the general Gamma-matrix constraint the reference's base
+class scaffolds — ``base_constraint.py:88-98`` stores Gamma_x/Gamma_u and
+transposes — but never instantiates beyond stacked identities),
 redesigned: a constraint is a declarative set description; the builder binds
 the vector dimensions once (:meth:`Constraint.bind`), and the
 identity-structured selection matrices Gamma_x / Gamma_u — which the batched
@@ -17,7 +21,7 @@ from typing import Optional
 
 import numpy as np
 
-__all__ = ["Constraint", "No", "Rectangle", "Ball"]
+__all__ = ["Constraint", "No", "Rectangle", "Ball", "Polyhedral"]
 
 
 class Constraint:
@@ -135,6 +139,13 @@ class Constraint:
         """Euclidean projection onto the set (host-side; subclass hook)."""
         raise NotImplementedError
 
+    def violation(self, vector) -> float:
+        """Max-norm infeasibility of ``vector`` (0 when the point is in the
+        set). Default: distance components to the Euclidean projection;
+        subclasses with cheaper feasibility certificates override this."""
+        flat = self._checked(vector)
+        return float(np.abs(flat - self.project(flat).reshape(-1)).max())
+
     def _checked(self, vector) -> np.ndarray:
         flat = np.asarray(vector, dtype=np.float64).reshape(-1)
         w = self.width
@@ -246,3 +257,113 @@ class Ball(Constraint):
             return np.asarray(vector, dtype=np.float64)
         scaled = self.center_for_size(flat.size) + offset * (self._radius / norm)
         return scaled.reshape(np.shape(vector))
+
+
+class Polyhedral(Constraint):
+    """General linear constraint ``lb <= G v <= ub`` on the node vector.
+
+    The capability the reference's constraint base class scaffolds but never
+    ships: arbitrary row matrices instead of stacked identities. The solver
+    enforces it exactly like Rectangle — the operator emits the image rows
+    ``G [x; u]`` into the constraint dual segment and the dual prox clips
+    them to the box — so any polyhedron expressible as a two-sided row
+    system batches branch-free (one extra [rows, n+m] matmul in L / L').
+
+    ``lb`` / ``ub`` entries may be None (unbounded on that side). Equality
+    rows are expressed as ``lb_r == ub_r``.
+    """
+
+    is_active = True
+
+    def __init__(self, node_type, matrix, lb, ub):
+        super().__init__(node_type)
+        G = np.asarray(matrix, dtype=np.float64)
+        if G.ndim != 2:
+            raise ValueError(f"constraint matrix must be 2-D, got {G.shape}")
+        lo_raw = np.asarray(lb, dtype=object).reshape(-1)
+        hi_raw = np.asarray(ub, dtype=object).reshape(-1)
+        if lo_raw.size != G.shape[0] or hi_raw.size != G.shape[0]:
+            raise ValueError(
+                f"bounds must have one entry per row of the matrix "
+                f"({G.shape[0]}), got {lo_raw.size} / {hi_raw.size}")
+        if any(a is None and b is None for a, b in zip(lo_raw, hi_raw)):
+            raise ValueError("a row with both bounds None constrains "
+                             "nothing — drop it")
+        lo = _bound_vector(lo_raw, "min")
+        hi = _bound_vector(hi_raw, "max")
+        if np.any(lo > hi):
+            raise ValueError("polyhedral lower bound exceeds upper bound")
+        self._G = G
+        self._lo = lo
+        self._hi = hi
+
+    @property
+    def matrix(self) -> np.ndarray:
+        return self._G
+
+    @property
+    def min(self) -> np.ndarray:
+        return self._lo
+
+    @property
+    def max(self) -> np.ndarray:
+        return self._hi
+
+    @property
+    def num_rows(self) -> int:
+        return self._G.shape[0]
+
+    def bind(self, state_size: int, control_size: Optional[int] = None):
+        super().bind(state_size, control_size)
+        if self.width is not None and self._G.shape[1] != self.width:
+            raise ValueError(
+                f"constraint matrix has {self._G.shape[1]} columns, the "
+                f"constrained vector has {self.width} entries")
+        return self
+
+    # Gamma_x / Gamma_u are the real column blocks of G here, not identities
+    @property
+    def state_matrix(self) -> Optional[np.ndarray]:
+        return None if self._n is None else self._G[:, :self._n]
+
+    @property
+    def control_matrix(self) -> Optional[np.ndarray]:
+        if self._n is None or not self._kind_or_raise().is_nonleaf:
+            return None
+        return self._G[:, self._n:]
+
+    def violation(self, vector) -> float:
+        """Image-space infeasibility max(0, G v - ub, lb - G v) — zero iff
+        the point satisfies every row (no projection solve needed)."""
+        flat = self._checked(vector)
+        img = self._G @ flat
+        over = np.maximum(img - self._hi, 0.0)
+        under = np.maximum(self._lo - img, 0.0)
+        return float(np.maximum(over, under).max())
+
+    def project(self, vector, max_iters: int = 20000, tol: float = 1e-12):
+        """Euclidean projection via Dykstra's algorithm over the row slabs
+        ``{v : lb_r <= g_r'v <= ub_r}`` (each slab projection is closed
+        form). Host-side oracle for tests/validation — the solver never
+        projects onto the polyhedron itself, only onto its image box."""
+        flat = self._checked(vector)
+        R = self.num_rows
+        g = self._G
+        g_nrm2 = np.einsum("ij,ij->i", g, g)
+        v = flat.copy()
+        corr = np.zeros((R, flat.size))
+        for _ in range(max_iters):
+            v_prev = v.copy()
+            for r in range(R):
+                w = v + corr[r]
+                if g_nrm2[r] == 0.0:
+                    v = w
+                    corr[r] = 0.0
+                    continue
+                t = g[r] @ w
+                t_clip = min(max(t, self._lo[r]), self._hi[r])
+                v = w + (t_clip - t) / g_nrm2[r] * g[r]
+                corr[r] = w - v
+            if np.abs(v - v_prev).max() <= tol:
+                break
+        return v.reshape(np.shape(vector))

@@ -108,6 +108,12 @@ class StackedProblem:
     l_active: jax.Array     # [num_leaf]
     l_ball_c: jax.Array     # [num_leaf, n]
     l_ball_r: jax.Array     # [num_leaf]
+    # shared Polyhedral row matrices: when set, the constraint dual segment
+    # (e7 / e14) carries the image rows G [x; u] (G x on leaves) and the
+    # row-bound tables above have G.shape[0] columns; None = the
+    # identity-structured Rectangle/Ball rows
+    nl_G: Optional[jax.Array]   # [nl_rows, n+m] or None
+    l_G: Optional[jax.Array]    # [l_rows, n] or None
 
     # -- stage-stacked mode blocks -------------------------------------------
     # In a fully-branching Markov stage every parent's children carry the
@@ -155,6 +161,16 @@ class StackedProblem:
     def dtype(self):
         return self.A.dtype
 
+    @property
+    def nl_rows(self) -> int:
+        """Columns of the nonleaf constraint dual segment e7."""
+        return self.nl_lo.shape[1]
+
+    @property
+    def l_rows(self) -> int:
+        """Columns of the leaf constraint dual segment e14."""
+        return self.l_lo.shape[1]
+
     def zero_primal(self, xp=jnp) -> Primal:
         """Zero primal pytree. ``xp=numpy`` builds host arrays — use it
         outside jit so cold-start setup costs no eager device dispatches
@@ -178,12 +194,57 @@ class StackedProblem:
             e4=xp.zeros((self.np_pad, self.m), dt),
             e5=xp.zeros((self.np_pad,), dt),
             e6=xp.zeros((self.np_pad,), dt),
-            e7=xp.zeros((self.nl_pad, self.n + self.m), dt),
+            e7=xp.zeros((self.nl_pad, self.nl_rows), dt),
             e11=xp.zeros((self.lf_pad, self.n), dt),
             e12=xp.zeros((self.lf_pad,), dt),
             e13=xp.zeros((self.lf_pad,), dt),
-            e14=xp.zeros((self.lf_pad, self.n), dt),
+            e14=xp.zeros((self.lf_pad, self.l_rows), dt),
         )
+
+
+def _constraint_tables(cons, width: int):
+    """Constraint-row data for one node class (nonleaf or leaf).
+
+    Returns ``(G, lo, hi, active, ball_c, ball_r)`` where ``G`` is the
+    shared Polyhedral row matrix (or None for identity-structured
+    Rectangle/Ball rows) and the per-node tables have ``G.shape[0]``
+    (or ``width``) columns.
+    """
+    from raocp_tpu.core.constraints.sets import Ball, Polyhedral
+
+    polys = [c for c in cons if isinstance(c, Polyhedral)]
+    G = None
+    rows = width
+    if polys:
+        first = polys[0]
+        for p in polys:
+            if p is not first and not np.array_equal(p.matrix, first.matrix):
+                raise ValueError(
+                    "all Polyhedral constraints of one node class must "
+                    "share a single row matrix (the dual segment has one "
+                    "width); use per-node bounds for node-varying sets")
+        if any(c.is_active and not isinstance(c, Polyhedral) for c in cons):
+            raise ValueError(
+                "Polyhedral constraints cannot be mixed with active "
+                "Rectangle/Ball constraints within one node class")
+        G = np.asarray(first.matrix, dtype=np.float64)
+        rows = first.num_rows
+    count = len(cons)
+    lo = np.full((count, rows), -np.inf)
+    hi = np.full((count, rows), np.inf)
+    active = np.zeros(count)
+    ball_c = np.zeros((count, rows))
+    ball_r = np.full(count, np.inf)
+    for i, con in enumerate(cons):
+        if con.is_active:
+            active[i] = 1.0
+            if isinstance(con, Ball):
+                ball_c[i] = con.center_for_size(rows)
+                ball_r[i] = con.radius
+            else:
+                lo[i] = con.min
+                hi[i] = con.max
+    return G, lo, hi, active, ball_c, ball_r
 
 
 def _offline_riccati(spec: RAOCP, n: int, m: int):
@@ -652,39 +713,14 @@ def build_stacked(spec: RAOCP, dtype=None,
         risk_free[i, :R] = kinds == 1
         risk_zero[i, :R] = kinds == 2
 
-    # constraint sets: boxes (Rectangle) and Euclidean balls (Ball)
-    from raocp_tpu.core.constraints.sets import Ball
-
-    nl_lo = np.full((NL, n + m), -np.inf)
-    nl_hi = np.full((NL, n + m), np.inf)
-    nl_active = np.zeros(NL)
-    nl_ball_c = np.zeros((NL, n + m))
-    nl_ball_r = np.full(NL, np.inf)
-    for i in range(NL):
-        con = spec.nonleaf_constraint_at_node(i)
-        if con.is_active:
-            nl_active[i] = 1.0
-            if isinstance(con, Ball):
-                nl_ball_c[i] = con.center_for_size(n + m)
-                nl_ball_r[i] = con.radius
-            else:
-                nl_lo[i] = con.min
-                nl_hi[i] = con.max
-    l_lo = np.full((LF, n), -np.inf)
-    l_hi = np.full((LF, n), np.inf)
-    l_active = np.zeros(LF)
-    l_ball_c = np.zeros((LF, n))
-    l_ball_r = np.full(LF, np.inf)
-    for i in range(NL, N):
-        con = spec.leaf_constraint_at_node(i)
-        if con.is_active:
-            l_active[i - NL] = 1.0
-            if isinstance(con, Ball):
-                l_ball_c[i - NL] = con.center_for_size(n)
-                l_ball_r[i - NL] = con.radius
-            else:
-                l_lo[i - NL] = con.min
-                l_hi[i - NL] = con.max
+    # constraint sets: boxes (Rectangle), Euclidean balls (Ball) and general
+    # polyhedra (Polyhedral, lb <= G v <= ub): the dual segment carries the
+    # image rows G v (identity rows for Rectangle/Ball) and the dual prox
+    # clips them, so only the row matrix and per-node row bounds are stored
+    nl_G, nl_lo, nl_hi, nl_active, nl_ball_c, nl_ball_r = _constraint_tables(
+        [spec.nonleaf_constraint_at_node(i) for i in range(NL)], n + m)
+    l_G, l_lo, l_hi, l_active, l_ball_c, l_ball_r = _constraint_tables(
+        [spec.leaf_constraint_at_node(i) for i in range(NL, N)], n)
 
     anc = tree.ancestors.copy()
     anc[0] = 0
@@ -833,6 +869,8 @@ def build_stacked(spec: RAOCP, dtype=None,
         l_active=dev(_pad0(l_active, LFP)),
         l_ball_c=dev(_pad0(l_ball_c, LFP)),
         l_ball_r=dev(_pad0(l_ball_r, LFP, np.inf)),
+        nl_G=None if nl_G is None else dev(nl_G),
+        l_G=None if l_G is None else dev(l_G),
         P=P_dev, Rinv=Rinv_dev, K=K_dev, Abar=Abar_dev,
         sumAPB=sumAPB_dev, Pi=dev(_pad0(Pi, NLP)),
     )

@@ -89,8 +89,8 @@ def make_packers(sp):
                 (sp.np_pad,), (sp.np_pad,)]
     d_shapes = [(sp.nl_pad, sp.Y), (sp.nl_pad,), (sp.np_pad, sp.n),
                 (sp.np_pad, sp.m), (sp.np_pad,), (sp.np_pad,),
-                (sp.nl_pad, sp.n + sp.m), (sp.lf_pad, sp.n), (sp.lf_pad,),
-                (sp.lf_pad,), (sp.lf_pad, sp.n)]
+                (sp.nl_pad, sp.nl_rows), (sp.lf_pad, sp.n), (sp.lf_pad,),
+                (sp.lf_pad,), (sp.lf_pad, sp.l_rows)]
 
     def _mk(shapes, cls):
         sizes = [int(np.prod(s)) for s in shapes]

@@ -164,12 +164,17 @@ def ell(sp: StackedProblem, z: Primal) -> Dual:
         e3 = sp.sqrtQ.matvec(parent_expand(sp, z.x, sp.np_pad))
         e4 = sp.sqrtR.matvec(parent_expand(sp, z.u, sp.np_pad))
     half_tau = 0.5 * z.tau * sp.nz_mask
-    e7 = xu * sp.nl_active[:, None]
+    # constraint rows: the image G [x; u] under a shared Polyhedral matrix,
+    # or the identity rows of Rectangle/Ball (reference operators.py:41-44
+    # with Gamma matrices that are stacked identities there)
+    e7 = ((xu @ sp.nl_G.T) if sp.nl_G is not None else xu) \
+        * sp.nl_active[:, None]
 
     x_leaf = repad(z.x[NL:N], sp.lf_pad)
     e11 = sp.sqrtP.matvec(x_leaf)
     half_s = 0.5 * repad(z.s[NL:N], sp.lf_pad)
-    e14 = x_leaf * sp.l_active[:, None]
+    e14 = ((x_leaf @ sp.l_G.T) if sp.l_G is not None else x_leaf) \
+        * sp.l_active[:, None]
 
     return Dual(e1=e1, e2=e2, e3=e3, e4=e4, e5=half_tau, e6=half_tau,
                 e7=e7, e11=e11, e12=half_s, e13=half_s, e14=e14)
@@ -182,6 +187,12 @@ def ell_t(sp: StackedProblem, eta: Dual) -> Primal:
     n = sp.n
 
     y = eta.e1 - sp.b_pad * eta.e2[:, None]
+
+    # adjoint of the constraint rows: G' e7 under a shared Polyhedral
+    # matrix, identity rows otherwise — a [nl_pad, n+m] contribution
+    con7 = eta.e7 * sp.nl_active[:, None]
+    if sp.nl_G is not None:
+        con7 = con7 @ sp.nl_G
 
     # x/u contributions from the SOC heads, summed back over children —
     # fused: one blockdiag rmatvec + one child reduction over [N, n+m]
@@ -214,23 +225,23 @@ def ell_t(sp: StackedProblem, eta: Dual) -> Primal:
         if tail:
             parts.append(jnp.zeros((tail, F), sp.dtype))
         s34 = jnp.concatenate(parts, axis=0)
-        xu = eta.e7 * sp.nl_active[:, None] + s34
+        xu = con7 + s34
         x_nl, u = xu[:, :n], xu[:, n:]
     elif sp.QRm is not None:
         w34 = sp.QRm.rmatvec(jnp.concatenate([eta.e3, eta.e4], axis=1))
         s34 = sum_over_children(sp, w34)
-        xu = eta.e7 * sp.nl_active[:, None] + s34
+        xu = con7 + s34
         x_nl, u = xu[:, :n], xu[:, n:]
     else:
         w3 = sp.sqrtQ.rmatvec(eta.e3)                # sqrtQ' e3 per child
         w4 = sp.sqrtR.rmatvec(eta.e4)
-        x_nl = (eta.e7[:, :n] * sp.nl_active[:, None]
-                + sum_over_children(sp, w3))
-        u = (eta.e7[:, n:] * sp.nl_active[:, None]
-             + sum_over_children(sp, w4))
+        x_nl = con7[:, :n] + sum_over_children(sp, w3)
+        u = con7[:, n:] + sum_over_children(sp, w4)
 
-    x_leaf = (sp.sqrtP.rmatvec(eta.e11)
-              + eta.e14 * sp.l_active[:, None])
+    con14 = eta.e14 * sp.l_active[:, None]
+    if sp.l_G is not None:
+        con14 = con14 @ sp.l_G
+    x_leaf = sp.sqrtP.rmatvec(eta.e11) + con14
     x = repad(jnp.concatenate([x_nl[:NL], x_leaf[:LF]], axis=0), sp.np_pad)
 
     tau = 0.5 * (eta.e5 + eta.e6) * sp.nz_mask

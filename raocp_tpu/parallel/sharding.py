@@ -37,10 +37,12 @@ _NODE_SHARDED_FIELDS = (
     "anc", "child_idx", "child_mask", "child_rank", "nz_mask",
     "A", "B",
     "b_pad", "y_mask", "risk_free_rows", "risk_zero_rows",
-    "nl_lo", "nl_hi", "nl_active",
-    "l_lo", "l_hi", "l_active",
+    "nl_lo", "nl_hi", "nl_active", "nl_ball_c", "nl_ball_r",
+    "l_lo", "l_hi", "l_active", "l_ball_c", "l_ball_r",
     "P", "Rinv", "K", "Abar", "sumAPB", "Pi",
 )
+# small shared matrices (optional fields may be None)
+_OPTIONAL_REPLICATED_FIELDS = ("nl_G", "l_G")
 # mode-grouped matrix stacks: the small mode table is replicated, the
 # per-node mode index (or dense stack) is sharded
 _MODAL_FIELDS = ("sqrtQ", "sqrtR", "sqrtP", "Am", "Bm", "ABm", "QRm")
@@ -90,6 +92,10 @@ def shard_problem(sp: StackedProblem, mesh: Mesh) -> StackedProblem:
         )
     for name in _REPLICATED_FIELDS:
         updates[name] = jax.device_put(getattr(sp, name), _replicated(mesh))
+    for name in _OPTIONAL_REPLICATED_FIELDS:
+        arr = getattr(sp, name)
+        if arr is not None:
+            updates[name] = jax.device_put(arr, _replicated(mesh))
     return dataclasses.replace(sp, **updates)
 
 

@@ -504,12 +504,10 @@ class Solver:
         for i in range(NL):
             c_i = spec.nonleaf_constraint_at_node(i)
             if c_i.is_active:
-                xu = np.concatenate([x[i], u[i]])
-                con = max(con, float(np.abs(xu - c_i.project(xu)).max()))
+                con = max(con, c_i.violation(np.concatenate([x[i], u[i]])))
         for i in range(NL, N):
             c_i = spec.leaf_constraint_at_node(i)
             if c_i.is_active:
-                con = max(con,
-                          float(np.abs(x[i] - c_i.project(x[i])).max()))
+                con = max(con, c_i.violation(x[i]))
 
         return {"dynamics": dyn, "kernel": ker, "constraints": con}

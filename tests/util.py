@@ -44,11 +44,11 @@ def random_dual(sp, rng) -> Dual:
         e4=rng.standard_normal((sp.np_pad, sp.m)) * nz[:, None],
         e5=rng.standard_normal(sp.np_pad) * nz,
         e6=rng.standard_normal(sp.np_pad) * nz,
-        e7=rng.standard_normal((sp.nl_pad, sp.n + sp.m)) * nl_act[:, None],
+        e7=rng.standard_normal((sp.nl_pad, sp.nl_rows)) * nl_act[:, None],
         e11=rng.standard_normal((sp.lf_pad, sp.n)) * mlf[:, None],
         e12=rng.standard_normal(sp.lf_pad) * mlf,
         e13=rng.standard_normal(sp.lf_pad) * mlf,
-        e14=rng.standard_normal((sp.lf_pad, sp.n)) * l_act[:, None],
+        e14=rng.standard_normal((sp.lf_pad, sp.l_rows)) * l_act[:, None],
     )
 
 
