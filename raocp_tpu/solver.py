@@ -215,11 +215,11 @@ def _log_residuals(k, err):
 
 
 @partial(jax.jit, static_argnames=("max_iters", "log_every", "check_every",
-                                   "unroll"))
+                                   "unroll", "adaptive"))
 @_with_matmul_precision
 def _run_cp(sp: StackedProblem, z0, eta0, x0, alpha1, alpha2, tol,
             max_iters: int, log_every=None, check_every: int = 1,
-            unroll: int = 1):
+            unroll: int = 1, adaptive: bool = False):
     """The full CP loop. Returns (z, eta, iters, final_errors, histories).
 
     ``check_every=k`` evaluates the xi residuals (and the stopping test)
@@ -232,52 +232,91 @@ def _run_cp(sp: StackedProblem, z0, eta0, x0, alpha1, alpha2, tol,
     ``unroll=u`` runs u CP steps per ``while_loop`` trip, amortising the
     loop-carry copies and stopping test over u iterations (u must divide
     check_every, or be 1).
+
+    ``adaptive`` enables residual balancing in the style of Goldstein et
+    al.'s adaptive PDHG: at every residual check, if the primal residual
+    xi_1 dominates the dual residual xi_2 by more than _ADAPT_DELTA the
+    primal step grows by 1/(1 - phi) and the dual step shrinks by
+    (1 - phi) (and symmetrically), keeping the convergence-critical
+    product alpha1*alpha2 exactly constant; the adaptivity level phi
+    decays geometrically on every rebalance, so the steps settle and the
+    scheme inherits the fixed-step convergence guarantee.
     """
     if unroll > 1 and check_every % unroll != 0:
         raise ValueError("unroll must divide check_every")
+
+    # residual-balancing constants (Goldstein et al. 2013 defaults)
+    _ADAPT_DELTA = 1.5    # imbalance ratio that triggers a rebalance
+    _ADAPT_PHI = 0.5      # initial step-change intensity
+    _ADAPT_DECAY = 0.95   # phi decay per rebalance
 
     z = Primal(*z0)
     eta = Dual(*eta0)
     Lz = ell(sp, z)
     Lt = ell_t(sp, eta)
-    # + unroll slack rows: k advances in steps of unroll and may overshoot
-    hist = jnp.zeros((max_iters + unroll, 6), sp.dtype)
+    # + unroll slack rows: k advances in steps of unroll and may overshoot.
+    # With strided checks the unchecked rows are never written — NaN-init
+    # renders them as gaps (instead of stale stair-steps) in the plots.
+    hist = (jnp.zeros((max_iters + unroll, 6), sp.dtype) if check_every == 1
+            else jnp.full((max_iters + unroll, 6), jnp.nan, sp.dtype))
     err = jnp.full((3,), jnp.inf, sp.dtype)
     derr = jnp.full((3,), jnp.inf, sp.dtype)
+    phi = jnp.asarray(_ADAPT_PHI, sp.dtype)
+
+    def rebalance(a1, a2, phi, err):
+        """One residual-balancing update of (alpha1, alpha2, phi)."""
+        grow = err[1] > _ADAPT_DELTA * err[2]     # primal residual dominates
+        shrink = err[2] > _ADAPT_DELTA * err[1]   # dual residual dominates
+        fac = jnp.where(grow, 1.0 / (1.0 - phi),
+                        jnp.where(shrink, 1.0 - phi, 1.0))
+        phi_new = jnp.where(jnp.logical_or(grow, shrink),
+                            phi * _ADAPT_DECAY, phi)
+        return a1 * fac, a2 / fac, phi_new
 
     def body(carry):
-        z, eta, Lz, Lt, k, err, derr, hist = carry
+        z, eta, Lz, Lt, k, err, derr, hist, a1, a2, phi = carry
         for i in range(unroll):
-            zn, en, Lzn, Ltn = _cp_step(
-                sp, z, eta, Lz, Lt, alpha1, alpha2, x0)
+            zn, en, Lzn, Ltn = _cp_step(sp, z, eta, Lz, Lt, a1, a2, x0)
 
             def fresh(z=z, zn=zn, eta=eta, en=en, Lz=Lz, Lzn=Lzn, Lt=Lt,
-                      Ltn=Ltn):
+                      Ltn=Ltn, a1=a1, a2=a2):
                 return _cp_residuals(
-                    sp, z, zn, eta, en, Lz, Lzn, Lt, Ltn, alpha1, alpha2)
+                    sp, z, zn, eta, en, Lz, Lzn, Lt, Ltn, a1, a2)
 
-            if check_every == 1:
+            if check_every == 1 or (unroll == check_every
+                                    and i == unroll - 1):
+                # per-iteration checks, or the statically known check slot
+                # of a whole check period per loop trip (unroll ==
+                # check_every): no lax.cond, no history write on the other
+                # unroll-1 steps — the production configuration
                 err, derr = fresh()
                 row = jnp.concatenate([err, derr])
-            else:
+                if adaptive:
+                    a1, a2, phi = rebalance(a1, a2, phi, err)
+                hist = hist.at[k + i].set(row)
+            elif unroll != check_every:
                 checked = (k + i + 1) % check_every == 0
                 err, derr = jax.lax.cond(checked, fresh,
                                          lambda: (err, derr))
+                if adaptive:
+                    a1, a2, phi = jax.tree_util.tree_map(
+                        lambda new, old: jnp.where(checked, new, old),
+                        rebalance(a1, a2, phi, err), (a1, a2, phi))
                 # NaN rows between checks so strided histories plot as gaps
                 # instead of stale stair-steps
                 row = jnp.where(checked, jnp.concatenate([err, derr]),
                                 jnp.nan)
-            hist = hist.at[k + i].set(row)
+                hist = hist.at[k + i].set(row)
             if log_every is not None:
                 jax.lax.cond(
                     (k + i) % log_every == 0,
                     lambda: jax.debug.callback(_log_residuals, k + i, err),
                     lambda: None)
             z, eta, Lz, Lt = zn, en, Lzn, Ltn
-        return z, eta, Lz, Lt, k + unroll, err, derr, hist
+        return z, eta, Lz, Lt, k + unroll, err, derr, hist, a1, a2, phi
 
     def cond(carry):
-        _, _, _, _, k, err, _, _ = carry
+        k, err = carry[4], carry[5]
         # k + unroll <= max_iters + 1: the final trip never pushes the step
         # count past the reference's cap of max_iters + 1 executed steps
         # (reference solver.py:156-159 runs k = 0..max_iters inclusive);
@@ -287,8 +326,10 @@ def _run_cp(sp: StackedProblem, z0, eta0, x0, alpha1, alpha2, tol,
             jnp.logical_and(jnp.max(err) > tol,
                             k + unroll < max_iters + 2))
 
-    z, eta, _, _, iters, err, _, hist = jax.lax.while_loop(
-        cond, body, (z, eta, Lz, Lt, 0, err, derr, hist))
+    out = jax.lax.while_loop(
+        cond, body, (z, eta, Lz, Lt, 0, err, derr, hist, alpha1, alpha2,
+                     phi))
+    z, eta, _, _, iters, err, _, hist = out[:8]
     return z, eta, iters, err, hist[:max_iters + 1]
 
 
@@ -323,7 +364,8 @@ class Solver:
               accel_memory: int = 5,
               check_every: int = 1,
               unroll: int = 1,
-              step_ratio: float = 1.0) -> SolverResult:
+              step_ratio: float = 1.0,
+              adaptive: bool = False) -> SolverResult:
         """Run Chambolle-Pock with the given initial state.
 
         :param alpha: overrides the 0.999/lambda_max(L'L) step rule
@@ -356,6 +398,13 @@ class Solver:
             iteration count substantially on badly scaled problems (the
             reference hardwires gamma = 1, ``solver.py:114-118``). Plain CP
             only (ignored under ``accel``).
+        :param adaptive: residual balancing (adaptive PDHG, Goldstein et
+            al.): at every residual check, rebalance alpha1/alpha2 toward
+            whichever of xi_1/xi_2 dominates, keeping alpha1*alpha2
+            constant, with geometrically decaying intensity — an automatic,
+            convergent version of hand-tuning ``step_ratio``. The returned
+            ``alpha`` is the initial step. Plain CP only (ignored under
+            ``accel``).
         """
         sp = self.__stacked
         x0_np = np.asarray(initial_state, dtype=np.float64).reshape(-1)
@@ -391,7 +440,7 @@ class Solver:
                     jnp.asarray(alpha * step_ratio, sp.dtype),
                     jnp.asarray(alpha / step_ratio, sp.dtype),
                     jnp.asarray(tol, sp.dtype),
-                    max_iters, log_every, check_every, unroll)
+                    max_iters, log_every, check_every, unroll, adaptive)
             elif accel == "anderson":
                 from raocp_tpu.accel import run_cp_anderson
                 z, eta, iters, _evals, err, hist3 = run_cp_anderson(

@@ -179,6 +179,21 @@ def test_step_ratio_balancing():
         solver.solve(x0, max_iters=10, tol=1e-3, step_ratio=0.0)
 
 
+def test_adaptive_step_balancing():
+    """Residual balancing (adaptive PDHG): converges to a feasible point on
+    the demo, and with strided checks the rebalancing happens only at check
+    iterations (same code path the production config uses)."""
+    problem, x0 = demo_problem()
+    solver = Solver(problem)
+    res = solver.solve(x0, max_iters=5000, tol=1e-3, adaptive=True)
+    assert res.converged
+    checks = solver.validate()
+    assert checks["dynamics"] < 1e-8 and checks["kernel"] < 1e-8
+    res_strided = solver.solve(x0, max_iters=5000, tol=1e-3, adaptive=True,
+                               check_every=25)
+    assert res_strided.converged
+
+
 def test_objective_matches_risk_recursion(demo_result):
     """result.objective (the root epigraph variable s_0) must equal an
     independent host-side evaluation of the nested risk-recursive cost of
