@@ -23,7 +23,8 @@ import raocp_tpu.core.constraints.cones as cones
 __all__ = ["NodeKind", "Node", "Nonleaf", "Leaf", "Dynamics", "Quadratic",
            "ConicForm", "avar_conic_form", "AVaR", "max_over_ambiguity",
            "tv_conic_form", "TotalVariation",
-           "msd_conic_form", "MeanUpperSemideviation", "ConicRisk"]
+           "msd_conic_form", "MeanUpperSemideviation",
+           "l2ball_conic_form", "L2Ball", "ConicRisk"]
 
 
 # ---------------------------------------------------------------------------
@@ -181,12 +182,17 @@ class ConicForm(NamedTuple):
 
 
 def max_over_ambiguity(form: ConicForm, z) -> float:
-    """rho(z) = max { z'mu : exists nu, b - E mu - F nu in K } by linear
-    programming (host-side; scipy HiGHS). K rows are read from the cone
-    components: NnOC rows become inequalities, Zero rows equalities, Real
-    rows are dropped (unconstrained). This is the risk value of the random
-    outcome ``z`` under the ambiguity set — the quantity the solver's
-    epigraph recursion bounds (s_i >= rho_i(tau_children + s_children))."""
+    """rho(z) = max { z'mu : exists nu, b - E mu - F nu in K } (host-side).
+
+    K rows are read from the cone components: NnOC rows become
+    inequalities, Zero rows equalities, Real rows are dropped
+    (unconstrained). Purely polyhedral sets solve by linear programming
+    (scipy HiGHS); a SecondOrderCone block adds the constraint
+    ``||slack[:-1]|| <= slack[-1]`` and the program solves by SLSQP (the
+    problem is convex, so the local solution is global). This is the risk
+    value of the random outcome ``z`` under the ambiguity set — the
+    quantity the solver's epigraph recursion bounds
+    (s_i >= rho_i(tau_children + s_children))."""
     import scipy.optimize
 
     z = np.asarray(z, dtype=np.float64).reshape(-1)
@@ -199,6 +205,7 @@ def max_over_ambiguity(form: ConicForm, z) -> float:
     comps = (form.cone.cones if isinstance(form.cone, cones.Cartesian)
              else [form.cone])
     kinds = []
+    soc_blocks = []
     for comp in comps:
         if isinstance(comp, cones.NonnegativeOrthant):
             kinds.extend(["ub"] * comp.dimension)
@@ -206,21 +213,64 @@ def max_over_ambiguity(form: ConicForm, z) -> float:
             kinds.extend(["eq"] * comp.dimension)
         elif isinstance(comp, cones.Real):
             kinds.extend(["free"] * comp.dimension)
+        elif isinstance(comp, cones.SecondOrderCone):
+            soc_blocks.append((len(kinds), comp.dimension))
+            kinds.extend(["soc"] * comp.dimension)
         else:
             raise NotImplementedError(
-                f"LP risk evaluation supports NnOC/Zero/Real cone rows, "
+                f"risk evaluation supports NnOC/Zero/Real/SOC cone rows, "
                 f"got {type(comp).__name__}")
     kinds = np.asarray(kinds)
     G = np.hstack([E, F])
     ub = kinds == "ub"
     eq = kinds == "eq"
-    res = scipy.optimize.linprog(
-        c=-np.concatenate([z, np.zeros(w)]),
-        A_ub=G[ub] if ub.any() else None, b_ub=b[ub] if ub.any() else None,
-        A_eq=G[eq] if eq.any() else None, b_eq=b[eq] if eq.any() else None,
-        bounds=[(None, None)] * (c + w), method="highs")
+    obj = np.concatenate([z, np.zeros(w)])
+
+    if not soc_blocks:
+        res = scipy.optimize.linprog(
+            c=-obj,
+            A_ub=G[ub] if ub.any() else None,
+            b_ub=b[ub] if ub.any() else None,
+            A_eq=G[eq] if eq.any() else None,
+            b_eq=b[eq] if eq.any() else None,
+            bounds=[(None, None)] * (c + w), method="highs")
+        if not res.success:
+            raise RuntimeError(f"risk-evaluation LP failed: {res.message}")
+        return float(-res.fun)
+
+    constraints = []
+    if ub.any():
+        constraints.append({"type": "ineq",
+                            "fun": lambda v, Gu=G[ub], bu=b[ub]: bu - Gu @ v})
+    if eq.any():
+        constraints.append({"type": "eq",
+                            "fun": lambda v, Ge=G[eq], be=b[eq]: be - Ge @ v})
+    for start, dim in soc_blocks:
+        Gs, bs = G[start:start + dim], b[start:start + dim]
+
+        # smooth, equivalent form of ||s[:-1]|| <= s[-1]: the squared
+        # margin plus nonnegativity of the radial row (SLSQP's linesearch
+        # fails on the nonsmooth norm at the cone boundary)
+        def soc_margin_sq(v, Gs=Gs, bs=bs):
+            s = bs - Gs @ v
+            return s[-1] * s[-1] - s[:-1] @ s[:-1]
+
+        def soc_radial(v, Gs=Gs, bs=bs):
+            return (bs - Gs @ v)[-1]
+
+        constraints.append({"type": "ineq", "fun": soc_margin_sq})
+        constraints.append({"type": "ineq", "fun": soc_radial})
+    # start from the least-squares point of the equality rows (a natural
+    # interior-ish anchor, e.g. the nominal distribution for simplex sets)
+    if eq.any():
+        v0, *_ = np.linalg.lstsq(G[eq], b[eq], rcond=None)
+    else:
+        v0 = np.zeros(c + w)
+    res = scipy.optimize.minimize(
+        lambda v: -(obj @ v), v0, constraints=constraints, method="SLSQP",
+        options={"maxiter": 500, "ftol": 1e-12})
     if not res.success:
-        raise RuntimeError(f"risk-evaluation LP failed: {res.message}")
+        raise RuntimeError(f"risk-evaluation SOCP failed: {res.message}")
     return float(-res.fun)
 
 
@@ -510,6 +560,74 @@ class MeanUpperSemideviation(_ConicRiskBase):
         cone = "unrealized" if self._conic is None else self._conic.cone.types
         return (f"Risk item; type: {type(self).__name__}, "
                 f"beta: {self._beta}; cone: {cone}")
+
+    __repr__ = __str__
+
+
+def l2ball_conic_form(radius: float, child_probs) -> ConicForm:
+    """Realize the Euclidean-ball ambiguity set for given probabilities.
+
+    The set is ``{mu in simplex : ||mu - pi||_2 <= radius}`` — the
+    distributionally-robust expectation over it interpolates expectation
+    (radius 0) and worst case (radius >= the simplex diameter sqrt(2)).
+    As rows of ``b - E mu in K`` (same convention as
+    :func:`avar_conic_form`):
+
+      -mu <= 0                       (NnOC, c rows)
+      1'mu = 1                       (Zero, 1 row)
+      ||mu - pi|| <= radius          (SOC, c+1 rows: x part mu - pi via
+                                      E = -I, b = -pi; radial row E = 0,
+                                      b = radius — radial LAST, matching
+                                      the SecondOrderCone convention)
+
+    so ``E = [-I; 1'; -I; 0']`` (2c+2 rows), ``F`` empty,
+    ``K = NnOC(c) x Zero(1) x SOC(c+1)``, ``b = [0_c; 1; -pi; radius]``.
+    Unlike every reference risk, K has a non-polyhedral block — this
+    exercises the SOC rows of the batched risk-dual projection.
+    """
+    pi = np.asarray(child_probs, dtype=np.float64).reshape(-1)
+    c = pi.size
+    eye_c = np.eye(c)
+    matrix_e = np.concatenate(
+        [-eye_c, np.ones((1, c)), -eye_c, np.zeros((1, c))], axis=0)
+    matrix_f = np.empty((2 * c + 2, 0))
+    cone = cones.Cartesian([cones.NonnegativeOrthant(dimension=c),
+                            cones.Zero(dimension=1),
+                            cones.SecondOrderCone(dimension=c + 1)])
+    vector_b = np.concatenate([np.zeros(c), [1.0], -pi,
+                               [float(radius)]]).reshape(-1, 1)
+    return ConicForm(matrix_e, matrix_f, cone, vector_b)
+
+
+class L2Ball(_ConicRiskBase):
+    """Euclidean-ball distributionally robust expectation:
+    ``rho(Z) = max { E_mu[Z] : mu in simplex, ||mu - pi||_2 <= radius }``.
+
+    A coherent risk measure with a genuinely second-order-cone ambiguity
+    set (AVaR/TV/MSD are all polyhedral): radius 0 is the expectation,
+    radius >= sqrt(2) contains the whole simplex (worst case). A
+    capability beyond the reference, exercising the SOC rows of the
+    batched risk-dual projection.
+    """
+
+    def __init__(self, radius: float):
+        if radius < 0.0:
+            raise ValueError(
+                f"ball radius must be nonnegative, got {radius}")
+        super().__init__()
+        self._radius = float(radius)
+
+    @property
+    def radius(self) -> float:
+        return self._radius
+
+    def _make_form(self, child_probs: np.ndarray) -> ConicForm:
+        return l2ball_conic_form(self._radius, child_probs)
+
+    def __str__(self) -> str:
+        cone = "unrealized" if self._conic is None else self._conic.cone.types
+        return (f"Risk item; type: {type(self).__name__}, "
+                f"radius: {self._radius}; cone: {cone}")
 
     __repr__ = __str__
 

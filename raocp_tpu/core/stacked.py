@@ -81,6 +81,12 @@ class StackedProblem:
     # neither (max(0, 0) = 0 keeps them zero)
     risk_free_rows: jax.Array
     risk_zero_rows: jax.Array
+    # SOC block row masks ([num_nonleaf, Y] bool, or None when no node's
+    # risk cone has an SOC block): member rows / the radial row of each
+    # node's (single) SecondOrderCone component — the dual projection
+    # treats those rows as one joint cone per node
+    risk_soc_rows: Optional[jax.Array]
+    risk_soc_tail: Optional[jax.Array]
 
     # -- problem data ----------------------------------------------------------
     A: jax.Array            # [num_nodes, n, n]; row 0 zero
@@ -449,14 +455,16 @@ def _offline_kernel_projectors(spec: RAOCP, d_max: int,
 
 def _cone_row_kinds(cone, rows: int):
     """Row-kind codes of a risk cone: 0 = NnOC (dual: max(0, .)),
-    1 = Zero (dual: identity), 2 = Real (dual: zero map). Any Cartesian
-    product of those components batches branch-free via per-row masks;
-    other components (e.g. SecondOrderCone) have no row-wise dual
-    projection and are rejected here."""
+    1 = Zero (dual: identity), 2 = Real (dual: zero map), 3 = SOC member
+    rows, 4 = the SOC radial (last) row. Any Cartesian product of NnOC /
+    Zero / Real components plus AT MOST ONE SecondOrderCone block batches
+    branch-free via per-row masks (the SOC block projects jointly, driven
+    by the kind-3/kind-4 masks — see ops.cones.risk_dual_project)."""
     import raocp_tpu.core.constraints.cones as cones
 
     comps = cone.cones if isinstance(cone, cones.Cartesian) else [cone]
     kinds = []
+    soc_seen = False
     for comp in comps:
         dim = comp.dimension
         if dim is None:
@@ -468,11 +476,21 @@ def _cone_row_kinds(cone, rows: int):
             kinds.extend([1] * dim)
         elif isinstance(comp, cones.Real):
             kinds.extend([2] * dim)
+        elif isinstance(comp, cones.SecondOrderCone):
+            if soc_seen:
+                raise NotImplementedError(
+                    "a risk cone may contain at most one SecondOrderCone "
+                    "block (one joint projection per node)")
+            if dim < 2:
+                raise ValueError("a SecondOrderCone block needs at least "
+                                 "2 rows (members + radial)")
+            soc_seen = True
+            kinds.extend([3] * (dim - 1) + [4])
         else:
             raise NotImplementedError(
                 "risk cones must be Cartesian products of "
-                "NonnegativeOrthant / Zero / Real components; got "
-                f"{type(comp).__name__}")
+                "NonnegativeOrthant / Zero / Real / SecondOrderCone "
+                f"components; got {type(comp).__name__}")
     if len(kinds) != rows:
         raise ValueError(f"risk cone dimension {len(kinds)} does not match "
                          f"the {rows} rows of (E, b)")
@@ -703,6 +721,8 @@ def build_stacked(spec: RAOCP, dtype=None,
     y_mask = np.zeros((NL, Y))
     risk_free = np.zeros((NL, Y), dtype=bool)   # Zero-cone rows
     risk_zero = np.zeros((NL, Y), dtype=bool)   # Real-cone rows
+    risk_soc = np.zeros((NL, Y), dtype=bool)    # SOC member rows
+    risk_soc_t = np.zeros((NL, Y), dtype=bool)  # SOC radial rows
     for i in range(NL):
         risk = spec.risk_at_node(i)
         b = risk.vector_b.reshape(-1)
@@ -712,6 +732,9 @@ def build_stacked(spec: RAOCP, dtype=None,
         kinds = np.asarray(_cone_row_kinds(risk.cone, R))
         risk_free[i, :R] = kinds == 1
         risk_zero[i, :R] = kinds == 2
+        risk_soc[i, :R] = kinds == 3
+        risk_soc_t[i, :R] = kinds == 4
+    has_soc = bool(risk_soc_t.any())
 
     # constraint sets: boxes (Rectangle), Euclidean balls (Ball) and general
     # polyhedra (Polyhedral, lb <= G v <= ub): the dual segment carries the
@@ -854,6 +877,10 @@ def build_stacked(spec: RAOCP, dtype=None,
         nz_mask=dev(_pad0(nz_mask, NP_)),
         risk_free_rows=jnp.asarray(_pad0(risk_free, NLP)),
         risk_zero_rows=jnp.asarray(_pad0(risk_zero, NLP)),
+        risk_soc_rows=(jnp.asarray(_pad0(risk_soc, NLP)) if has_soc
+                       else None),
+        risk_soc_tail=(jnp.asarray(_pad0(risk_soc_t, NLP)) if has_soc
+                       else None),
         A=A_dev, B=B_dev, Am=Am, Bm=Bm, ABm=ABm,
         sqrtQ=sqrtQ_m, sqrtR=sqrtR_m, QRm=QRm, sqrtP=sqrtP_m,
         ab_fwd=ab_fwd, ab_bwd=ab_bwd, qr_fwd=qr_fwd, qr_bwd=qr_bwd,

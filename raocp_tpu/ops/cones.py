@@ -72,16 +72,38 @@ def soc_project(v):
     return jnp.concatenate([proj_x, proj_t[..., None]], axis=-1)
 
 
-def risk_dual_project(v, free_rows, zero_rows):
+def risk_dual_project(v, free_rows, zero_rows, soc_rows=None, soc_tail=None):
     """Projection onto the dual of each node's risk ambiguity cone.
 
-    The cone is any Cartesian product of NnOC / Zero / Real rows, described
-    by two per-node boolean row masks ([num_nonleaf, Y], natural row order):
-    ``free_rows`` marks Zero-cone rows (dual = R, projection = identity),
-    ``zero_rows`` marks Real-cone rows (dual = {0}, projection = 0); all
-    other rows are NnOC (self-dual, max(0, .)). Padded slots carry zeros in
-    both masks and the input (max(0, 0) = 0 keeps them zero). For AVaR the
-    masks encode NnOC(2c) x Zero(1) (reference ``risks.py:28-35``).
+    The cone is any Cartesian product of NnOC / Zero / Real rows plus at
+    most one SecondOrderCone block, described by per-node boolean row masks
+    ([num_nonleaf, Y], natural row order): ``free_rows`` marks Zero-cone
+    rows (dual = R, projection = identity), ``zero_rows`` marks Real-cone
+    rows (dual = {0}, projection = 0); all other non-SOC rows are NnOC
+    (self-dual, max(0, .)). ``soc_rows`` / ``soc_tail`` (both None when no
+    node has an SOC block — e.g. every reference risk) mark the member /
+    radial rows of the node's SOC block, projected jointly with the
+    standard three-case formula (self-dual). Padded slots carry zeros in
+    every mask and the input (max(0, 0) = 0 keeps them zero). For AVaR the
+    masks encode NnOC(2c) x Zero(1) (reference ``risks.py:28-35``); for
+    the L2Ball risk, NnOC(c) x Zero(1) x SOC(c+1).
     """
-    return jnp.where(free_rows, v,
-                     jnp.where(zero_rows, 0.0, jnp.maximum(v, 0)))
+    rowwise = jnp.where(free_rows, v,
+                        jnp.where(zero_rows, 0.0, jnp.maximum(v, 0)))
+    if soc_rows is None:
+        return rowwise
+    x = v * soc_rows                                        # member rows
+    nx = jnp.sqrt(jnp.sum(x * x, axis=1))                   # [NL]
+    t = jnp.sum(v * soc_tail, axis=1)                       # [NL] radial
+    # three-case SOC projection per node: inside -> identity, polar ->
+    # zero, else scale members to (nx + t)/2 and set the radial row to it
+    inside = nx <= t
+    polar = nx <= -t
+    t_half = 0.5 * (nx + t)
+    x_coef = jnp.where(inside, 1.0,
+                       jnp.where(polar, 0.0,
+                                 t_half / jnp.maximum(nx,
+                                                      jnp.finfo(v.dtype).tiny)))
+    t_new = jnp.where(inside, t, jnp.where(polar, 0.0, t_half))
+    return jnp.where(soc_rows, x_coef[:, None] * v,
+                     jnp.where(soc_tail, t_new[:, None], rowwise))

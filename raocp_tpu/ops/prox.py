@@ -232,7 +232,8 @@ def g_conj_projections(sp: StackedProblem, mod: Dual) -> Dual:
     ``mod`` vector. Split out so the packed solver core can run the
     surrounding Moreau arithmetic on flat vectors."""
     n, m = sp.n, sp.m
-    p1 = risk_dual_project(mod.e1, sp.risk_free_rows, sp.risk_zero_rows)
+    p1 = risk_dual_project(mod.e1, sp.risk_free_rows, sp.risk_zero_rows,
+                           sp.risk_soc_rows, sp.risk_soc_tail)
     p2 = nonneg_project(mod.e2)
     soc_head = jnp.concatenate([mod.e3, mod.e4, mod.e5[:, None]], axis=1)
     px, pt = soc_project_parts(soc_head, mod.e6)

@@ -43,6 +43,8 @@ _NODE_SHARDED_FIELDS = (
 )
 # small shared matrices (optional fields may be None)
 _OPTIONAL_REPLICATED_FIELDS = ("nl_G", "l_G")
+# optional node-leading arrays (None unless some node's risk uses them)
+_OPTIONAL_NODE_SHARDED_FIELDS = ("risk_soc_rows", "risk_soc_tail")
 # mode-grouped matrix stacks: the small mode table is replicated, the
 # per-node mode index (or dense stack) is sharded
 _MODAL_FIELDS = ("sqrtQ", "sqrtR", "sqrtP", "Am", "Bm", "ABm", "QRm")
@@ -96,6 +98,10 @@ def shard_problem(sp: StackedProblem, mesh: Mesh) -> StackedProblem:
         arr = getattr(sp, name)
         if arr is not None:
             updates[name] = jax.device_put(arr, _replicated(mesh))
+    for name in _OPTIONAL_NODE_SHARDED_FIELDS:
+        arr = getattr(sp, name)
+        if arr is not None:
+            updates[name] = jax.device_put(arr, node_sharding(mesh, arr.ndim))
     return dataclasses.replace(sp, **updates)
 
 

@@ -40,14 +40,15 @@ def main():
 
     iters = 50
     check_every = int(os.environ.get("CHECK_EVERY", "25"))
+    unroll = int(os.environ.get("UNROLL", "25"))
     out = _run_cp(sp, z0, eta0, x0j, alpha, alpha, tol0, iters,
-                  check_every=check_every)
+                  check_every=check_every, unroll=unroll)
     jax.block_until_ready(out)
 
     trace_dir = "/tmp/raocp_trace"
     with jax.profiler.trace(trace_dir):
         out = _run_cp(sp, z0, eta0, x0j, alpha, alpha, tol0, iters,
-                      check_every=check_every)
+                      check_every=check_every, unroll=unroll)
         jax.block_until_ready(out)
 
     files = sorted(glob.glob(

@@ -155,17 +155,21 @@ def test_conic_risk_validation():
         not_form.probs = [0.5, 0.5]
 
 
-def test_soc_risk_cone_rejected():
-    """Risk cones with non-row-wise components are rejected at stacking."""
+def test_multiple_soc_blocks_rejected():
+    """A risk cone may carry at most ONE SecondOrderCone block (the batched
+    dual projection does one joint block projection per node)."""
     import raocp_tpu.core.constraints.cones as cones
 
-    def soc_form(pi):
+    def two_soc_form(pi):
         c = pi.size
-        return ConicForm(np.eye(c), np.empty((c, 0)),
-                         cones.SecondOrderCone(dimension=c),
-                         np.ones((c, 1)))
+        rows = 2 * (c + 1)
+        return ConicForm(np.zeros((rows, c)), np.empty((rows, 0)),
+                         cones.Cartesian(
+                             [cones.SecondOrderCone(dimension=c + 1),
+                              cones.SecondOrderCone(dimension=c + 1)]),
+                         np.ones((rows, 1)))
 
-    problem, _ = demo_problem(risk=ConicRisk(soc_form))
+    problem, _ = demo_problem(risk=ConicRisk(two_soc_form))
     with pytest.raises(NotImplementedError):
         build_stacked(problem)
 
@@ -334,6 +338,175 @@ def test_msd_solve_end_to_end():
     assert res.objective == pytest.approx(v0, abs=2e-2, rel=1e-2)
 
     problem_0, _ = demo_problem(risk=MeanUpperSemideviation(0.0))
+    problem_e, _ = demo_problem(risk=AVaR(1.0))
+    res_0 = Solver(problem_0).solve(x0, max_iters=6000, tol=1e-4)
+    res_e = Solver(problem_e).solve(x0, max_iters=6000, tol=1e-4)
+    assert res_0.converged and res_e.converged
+    np.testing.assert_allclose(np.asarray(res_0.primal.x),
+                               np.asarray(res_e.primal.x), atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# L2Ball: the SOC-cone risk (Euclidean-ball distributionally robust
+# expectation) — the first non-polyhedral ambiguity set
+# ---------------------------------------------------------------------------
+
+def test_l2ball_evaluation_limits_and_brute_force():
+    from raocp_tpu.core.elements import L2Ball
+
+    pi = np.array([0.2, 0.5, 0.3])
+    z = np.array([1.0, 3.0, 2.0])
+    # radius 0: the expectation; radius >= sqrt(2): the whole simplex
+    assert L2Ball(0.0).for_children(pi).evaluate(z) == \
+        pytest.approx(float(pi @ z), abs=1e-8)
+    assert L2Ball(2.0).for_children(pi).evaluate(z) == \
+        pytest.approx(z.max(), abs=1e-6)
+    # small radius (nonnegativity slack): the optimum is analytic —
+    # mu* = pi + r P z / ||P z|| with P the simplex-hyperplane projector,
+    # so rho = pi'z + r ||P z||
+    r = 0.1
+    val = L2Ball(r).for_children(pi).evaluate(z)
+    Pz = z - z.mean()
+    assert val == pytest.approx(float(pi @ z) + r * np.linalg.norm(Pz),
+                                abs=1e-7)
+    # monotone in the radius, above the expectation
+    val3 = L2Ball(0.3).for_children(pi).evaluate(z)
+    assert float(pi @ z) <= val <= val3 <= z.max()
+
+
+def test_l2ball_conic_form_membership():
+    from raocp_tpu.core.elements import l2ball_conic_form
+    import raocp_tpu.core.constraints.cones as cones
+
+    pi = np.array([0.4, 0.6])
+    form = l2ball_conic_form(0.25, pi)
+    assert form.matrix_e.shape == (2 * 2 + 2, 2)
+    assert form.matrix_f.shape == (2 * 2 + 2, 0)
+    comps = form.cone.cones
+    assert isinstance(comps[-1], cones.SecondOrderCone)
+    assert comps[-1].dimension == 3
+
+    def member(mu):
+        s = form.vector_b.reshape(-1) - form.matrix_e @ mu
+        return (s[:2] >= -1e-12).all() and abs(s[2]) < 1e-12 \
+            and np.linalg.norm(s[3:5]) <= s[5] + 1e-12
+
+    assert member(pi)
+    assert member(pi + np.array([0.1, -0.1]))
+    assert not member(pi + np.array([0.3, -0.3]))     # leaves the ball
+    assert not member(np.array([0.5, 0.4]))           # leaves the simplex
+
+
+def test_l2ball_validation():
+    from raocp_tpu.core.elements import L2Ball
+
+    with pytest.raises(ValueError, match="nonnegative"):
+        L2Ball(-0.1)
+    risk = L2Ball(0.3)
+    with pytest.raises(ValueError, match="realized"):
+        risk.matrix_e
+
+
+@pytest.fixture(scope="module")
+def l2_spec_and_sp():
+    from raocp_tpu.core.elements import L2Ball
+
+    problem, _ = demo_problem(risk=L2Ball(0.3))
+    return problem, build_stacked(problem)
+
+
+def test_l2ball_stacked_layout(l2_spec_and_sp):
+    spec, sp = l2_spec_and_sp
+    tree = spec.tree
+    d = tree.max_branching
+    assert sp.Y == 2 * d + 2
+    assert sp.risk_soc_rows is not None
+    soc = np.asarray(sp.risk_soc_rows)
+    tail = np.asarray(sp.risk_soc_tail)
+    free = np.asarray(sp.risk_free_rows)
+    for i in range(sp.num_nonleaf):
+        c = len(tree.children_of(i))
+        R = 2 * c + 2
+        # rows: NnOC(c), Zero(1), SOC members (c), SOC radial (1)
+        assert free[i, c] and free[i].sum() == 1
+        assert soc[i, c + 1:R - 1].all() and soc[i].sum() == c
+        assert tail[i, R - 1] and tail[i].sum() == 1
+
+
+def test_l2ball_operator_adjoint(l2_spec_and_sp):
+    import jax
+    import jax.numpy as jnp
+
+    from raocp_tpu.ops.operator import ell, ell_t
+    from util import random_dual, random_primal, tree_dot_np
+
+    _, sp = l2_spec_and_sp
+    rng = np.random.default_rng(21)
+    z = random_primal(sp, rng)
+    eta = random_dual(sp, rng)
+    zj = jax.tree_util.tree_map(jnp.asarray, z)
+    ej = jax.tree_util.tree_map(jnp.asarray, eta)
+    lhs = tree_dot_np(ell(sp, zj), eta)
+    rhs = tree_dot_np(z, ell_t(sp, ej))
+    assert lhs == pytest.approx(rhs, rel=1e-12)
+
+
+def test_l2ball_dual_projection_matches_host(l2_spec_and_sp):
+    """The batched SOC-block dual projection equals a per-node host
+    projection with the spec-level cone classes."""
+    import jax.numpy as jnp
+
+    from raocp_tpu.ops.cones import risk_dual_project
+
+    def soc_project(vec):
+        """Three-case SOC projection for any block size >= 2 (the spec
+        class rejects < 3, reference parity; chain nodes here have
+        1 child -> a 2-row block)."""
+        x, t = vec[:-1], vec[-1]
+        nx = np.linalg.norm(x)
+        if nx <= t:
+            return np.array(vec, copy=True)
+        if nx <= -t:
+            return np.zeros_like(vec)
+        th = 0.5 * (nx + t)
+        return np.concatenate([th * x / nx, [th]])
+
+    spec, sp = l2_spec_and_sp
+    tree = spec.tree
+    rng = np.random.default_rng(5)
+    v = rng.standard_normal((sp.nl_pad, sp.Y)) * np.asarray(sp.y_mask)
+    out = np.asarray(risk_dual_project(
+        jnp.asarray(v), sp.risk_free_rows, sp.risk_zero_rows,
+        sp.risk_soc_rows, sp.risk_soc_tail))
+    for i in range(sp.num_nonleaf):
+        c = len(tree.children_of(i))
+        R = 2 * c + 2
+        expected = np.zeros(sp.Y)
+        expected[:c] = np.maximum(v[i, :c], 0)          # NnOC dual
+        expected[c] = v[i, c]                           # Zero dual = R
+        expected[c + 1:R] = soc_project(v[i, c + 1:R])
+        np.testing.assert_allclose(out[i], expected, atol=1e-12)
+    # ghost rows stay zero
+    if sp.nl_pad > sp.num_nonleaf:
+        assert np.abs(out[sp.num_nonleaf:]).max() == 0
+
+
+def test_l2ball_solve_end_to_end():
+    from raocp_tpu import L2Ball
+    from raocp_tpu.solver import Solver
+    from raocp_tpu.utils.evaluate import risk_value
+
+    problem, x0 = demo_problem(risk=L2Ball(0.3))
+    solver = Solver(problem)
+    res = solver.solve(x0, max_iters=8000, tol=1e-4)
+    assert res.converged
+    checks = solver.validate()
+    assert checks["dynamics"] < 1e-8 and checks["kernel"] < 1e-8
+    v0 = risk_value(problem, res.primal.x, res.primal.u)
+    assert res.objective == pytest.approx(v0, abs=2e-2, rel=1e-2)
+
+    # radius 0 is the expectation: coincides with AVaR(1)
+    problem_0, _ = demo_problem(risk=L2Ball(0.0))
     problem_e, _ = demo_problem(risk=AVaR(1.0))
     res_0 = Solver(problem_0).solve(x0, max_iters=6000, tol=1e-4)
     res_e = Solver(problem_e).solve(x0, max_iters=6000, tol=1e-4)
