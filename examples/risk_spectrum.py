@@ -32,13 +32,16 @@ def main():
         ("expectation  AVaR(1.0)", r.AVaR(1.0)),
         ("             TV(0.0)", r.TotalVariation(0.0)),
         ("             MSD(0.0)", r.MeanUpperSemideviation(0.0)),
+        ("             L2Ball(0.0)", r.L2Ball(0.0)),
         ("mild         MSD(0.5)", r.MeanUpperSemideviation(0.5)),
+        ("             L2Ball(0.3)", r.L2Ball(0.3)),
         ("             TV(0.3)", r.TotalVariation(0.3)),
         ("             AVaR(0.95)", r.AVaR(0.95)),
         ("strong       TV(1.0)", r.TotalVariation(1.0)),
         ("             AVaR(0.5)", r.AVaR(0.5)),
         ("worst case   AVaR(0.0)", r.AVaR(0.0)),
         ("             TV(2.0)", r.TotalVariation(2.0)),
+        ("             L2Ball(1.5)", r.L2Ball(1.5)),
     ]
     print(f"{'risk measure':28s} {'iters':>6s} {'objective':>12s} "
           f"{'recursion':>12s}")

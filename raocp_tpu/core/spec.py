@@ -245,6 +245,39 @@ class RAOCP:
         self._risks.scatter(items, slots, 0, tree.num_nonleaf_nodes)
         return self
 
+    def with_stage_risks(self, ordered_list_of_risks):
+        """One risk measure per nonleaf stage (node i gets the risk of its
+        stage). A capability beyond the reference's single shared risk:
+        e.g. worst-case near the root, expectation toward the horizon.
+        The list must have one entry per nonleaf stage."""
+        tree = self._tree
+        ns_nl = tree.num_stages - 1
+        risks = list(ordered_list_of_risks)
+        if len(risks) != ns_nl:
+            raise ValueError(f"need one risk per nonleaf stage ({ns_nl}), "
+                             f"got {len(risks)}")
+        for risk in risks:
+            if not getattr(risk, "is_risk", False):
+                raise ValueError("with_stage_risks needs risk measures "
+                                 "(e.g. AVaR)")
+        realized: dict = {}
+        slots = np.empty(tree.num_nonleaf_nodes, dtype=np.int64)
+        items = []
+        for i in range(tree.num_nonleaf_nodes):
+            k = int(tree.stage_of(i))
+            pi = np.asarray(tree.conditional_probabilities_of_children(i))
+            key = (k, pi.tobytes())
+            slot = realized.get(key)
+            if slot is None:
+                node_risk = deepcopy(risks[k])
+                node_risk.probs = pi
+                slot = len(items)
+                items.append(node_risk)
+                realized[key] = slot
+            slots[i] = slot
+        self._risks.scatter(items, slots, 0, tree.num_nonleaf_nodes)
+        return self
+
     # -- display ---------------------------------------------------------------------
 
     def __str__(self) -> str:

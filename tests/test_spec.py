@@ -194,3 +194,39 @@ def test_risk_realizations_are_shared_per_distinct_probs(tree):
         tree.conditional_probabilities_of_children(i)).tobytes()
         for i in range(tree.num_nonleaf_nodes)}
     assert len(distinct) == len(probs)
+
+
+def test_stage_risks():
+    """Per-stage risk assignment: node i carries the risk of its stage,
+    realized with its own child probabilities; wrong list length and
+    non-risk entries raise."""
+    from raocp_tpu.core.elements import AVaR, TotalVariation
+    from raocp_tpu.models import demo_problem
+
+    problem, x0 = demo_problem()
+    tree = problem.tree
+    ns_nl = tree.num_stages - 1
+    stage_risks = [AVaR(0.5) if k == 0 else TotalVariation(0.3)
+                   for k in range(ns_nl)]
+    problem.with_stage_risks(stage_risks)
+    for i in range(tree.num_nonleaf_nodes):
+        risk = problem.risk_at_node(i)
+        if tree.stage_of(i) == 0:
+            assert isinstance(risk, AVaR)
+        else:
+            assert isinstance(risk, TotalVariation)
+        np.testing.assert_allclose(
+            risk.probs, tree.conditional_probabilities_of_children(i))
+
+    with pytest.raises(ValueError, match="one risk per nonleaf stage"):
+        problem.with_stage_risks([AVaR(0.5)])
+    with pytest.raises(ValueError, match="risk measures"):
+        problem.with_stage_risks([object()] * ns_nl)
+
+    # a stage-mixed problem solves end to end
+    from raocp_tpu.solver import Solver
+    solver = Solver(problem)
+    res = solver.solve(x0, max_iters=8000, tol=1e-3)
+    assert res.converged
+    checks = solver.validate()
+    assert checks["dynamics"] < 1e-8 and checks["kernel"] < 1e-8
