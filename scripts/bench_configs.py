@@ -18,7 +18,11 @@ Prints one JSON line per config.
 
 import argparse
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _solve_config(name, problem, x0, dtype, accel=None, max_iters=20000,
