@@ -107,3 +107,37 @@ def test_sharded_cp_step_matches(setup):
     for a, b in zip(jax.tree_util.tree_leaves(out),
                     jax.tree_util.tree_leaves(ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-10)
+
+
+def test_sharded_step_matches_with_l2ball_and_polyhedral():
+    """The new optional fields (Polyhedral row matrix, SOC risk masks) keep
+    sharded-vs-single-device equality: a problem with an L2Ball risk and a
+    general-row nonleaf constraint steps identically on the 8-device mesh."""
+    from raocp_tpu import L2Ball, Polyhedral
+    from raocp_tpu.core.elements import Nonleaf
+
+    problem, x0 = demo_problem(risk=L2Ball(0.3))
+    G = np.vstack([np.eye(5), [[1.0, -1.0, 0.0, 0.0, 1.0]]])
+    problem.with_all_nonleaf_constraints(
+        Polyhedral(Nonleaf(), G, -np.full(6, 7.0), np.full(6, 7.0)))
+    sp = build_stacked(problem, pad_multiple=8)
+    assert sp.nl_G is not None and sp.risk_soc_rows is not None
+    mesh = make_mesh(num_devices=8)
+    sp_sharded = shard_problem(sp, mesh)
+
+    rng = np.random.default_rng(3)
+    z = jax.tree_util.tree_map(jnp.asarray, random_primal(sp, rng))
+    eta = jax.tree_util.tree_map(jnp.asarray, random_dual(sp, rng))
+    Lz = ell(sp, z)
+    LtEta = ell_t(sp, eta)
+    alpha = 0.2
+    x0j = jnp.asarray(x0, sp.dtype)
+
+    ref = jax.jit(cp_iteration)(sp, z, eta, Lz, LtEta, alpha, alpha, x0j)
+    out = jax.jit(cp_iteration)(
+        sp_sharded, shard_variables(z, mesh), shard_variables(eta, mesh),
+        shard_variables(Lz, mesh), shard_variables(LtEta, mesh),
+        alpha, alpha, x0j)
+    for a, b in zip(jax.tree_util.tree_leaves(out),
+                    jax.tree_util.tree_leaves(ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-10)
