@@ -216,24 +216,20 @@ class RAOCP:
 
     # -- risks ----------------------------------------------------------------------
 
-    def with_all_risks(self, risk):
-        """Realize one risk measure per nonleaf node.
-
-        Each node's copy is realized with that node's conditional child
-        probabilities; nodes whose probability vectors coincide share one
-        realized instance, so a Markov-chain tree carries O(modes * modes)
-        realized risks rather than O(nodes).
-        """
-        if not getattr(risk, "is_risk", False):
-            raise ValueError("with_all_risks needs a risk measure "
-                             "(e.g. AVaR)")
+    def _realize_risks(self, risk_of_node):
+        """Realize ``risk_of_node(i)`` per nonleaf node with that node's
+        conditional child probabilities. Nodes whose (declared risk,
+        probability vector) pairs coincide share one realized instance, so
+        a Markov-chain tree carries O(modes * modes) realized risks rather
+        than O(nodes)."""
         tree = self._tree
         realized: dict = {}
         slots = np.empty(tree.num_nonleaf_nodes, dtype=np.int64)
         items = []
         for i in range(tree.num_nonleaf_nodes):
+            risk = risk_of_node(i)
             pi = np.asarray(tree.conditional_probabilities_of_children(i))
-            key = pi.tobytes()
+            key = (id(risk), pi.tobytes())
             slot = realized.get(key)
             if slot is None:
                 node_risk = deepcopy(risk)
@@ -244,6 +240,14 @@ class RAOCP:
             slots[i] = slot
         self._risks.scatter(items, slots, 0, tree.num_nonleaf_nodes)
         return self
+
+    def with_all_risks(self, risk):
+        """Realize one shared risk measure per nonleaf node (each node's
+        copy gets that node's conditional child probabilities)."""
+        if not getattr(risk, "is_risk", False):
+            raise ValueError("with_all_risks needs a risk measure "
+                             "(e.g. AVaR)")
+        return self._realize_risks(lambda i: risk)
 
     def with_stage_risks(self, ordered_list_of_risks):
         """One risk measure per nonleaf stage (node i gets the risk of its
@@ -260,23 +264,7 @@ class RAOCP:
             if not getattr(risk, "is_risk", False):
                 raise ValueError("with_stage_risks needs risk measures "
                                  "(e.g. AVaR)")
-        realized: dict = {}
-        slots = np.empty(tree.num_nonleaf_nodes, dtype=np.int64)
-        items = []
-        for i in range(tree.num_nonleaf_nodes):
-            k = int(tree.stage_of(i))
-            pi = np.asarray(tree.conditional_probabilities_of_children(i))
-            key = (k, pi.tobytes())
-            slot = realized.get(key)
-            if slot is None:
-                node_risk = deepcopy(risks[k])
-                node_risk.probs = pi
-                slot = len(items)
-                items.append(node_risk)
-                realized[key] = slot
-            slots[i] = slot
-        self._risks.scatter(items, slots, 0, tree.num_nonleaf_nodes)
-        return self
+        return self._realize_risks(lambda i: risks[int(tree.stage_of(i))])
 
     # -- display ---------------------------------------------------------------------
 
