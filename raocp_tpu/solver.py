@@ -215,11 +215,11 @@ def _log_residuals(k, err):
 
 
 @partial(jax.jit, static_argnames=("max_iters", "log_every", "check_every",
-                                   "unroll", "adaptive"))
+                                   "unroll", "adaptive", "relax"))
 @_with_matmul_precision
 def _run_cp(sp: StackedProblem, z0, eta0, x0, alpha1, alpha2, tol,
             max_iters: int, log_every=None, check_every: int = 1,
-            unroll: int = 1, adaptive: bool = False):
+            unroll: int = 1, adaptive: bool = False, relax: float = 1.0):
     """The full CP loop. Returns (z, eta, iters, final_errors, histories).
 
     ``check_every=k`` evaluates the xi residuals (and the stopping test)
@@ -241,6 +241,15 @@ def _run_cp(sp: StackedProblem, z0, eta0, x0, alpha1, alpha2, tol,
     product alpha1*alpha2 exactly constant; the adaptivity level phi
     decays geometrically on every rebalance, so the steps settle and the
     scheme inherits the fixed-step convergence guarantee.
+
+    ``relax=rho`` (static, default 1.0 = plain CP) over-relaxes each step:
+    (z, eta) <- (1 - rho) (z, eta) + rho (z~, eta~) where (z~, eta~) is the
+    proximal step — Condat's relaxed primal-dual algorithm, convergent for
+    rho in (0, 2) under the same alpha1 alpha2 ||L||^2 < 1 rule. The
+    residuals are evaluated at the UNRELAXED proximal pair (the CP
+    fixed-point residual at the current iterate, same formulas as the
+    reference), and the carried L z / L'eta update linearly, so relaxation
+    costs four axpys per step and no operator applies.
     """
     if unroll > 1 and check_every % unroll != 0:
         raise ValueError("unroll must divide check_every")
@@ -312,7 +321,16 @@ def _run_cp(sp: StackedProblem, z0, eta0, x0, alpha1, alpha2, tol,
                     (k + i) % log_every == 0,
                     lambda: jax.debug.callback(_log_residuals, k + i, err),
                     lambda: None)
-            z, eta, Lz, Lt = zn, en, Lzn, Ltn
+            if relax != 1.0:
+                # over-relaxation AFTER the residual evaluation: the
+                # residual measures the fixed-point gap at the current
+                # iterate; the carried operator images relax linearly
+                over = jax.tree_util.tree_map(
+                    lambda cur, prox: cur + relax * (prox - cur),
+                    (z, eta, Lz, Lt), (zn, en, Lzn, Ltn))
+                z, eta, Lz, Lt = over
+            else:
+                z, eta, Lz, Lt = zn, en, Lzn, Ltn
         return z, eta, Lz, Lt, k + unroll, err, derr, hist, a1, a2, phi
 
     def cond(carry):
@@ -365,7 +383,8 @@ class Solver:
               check_every: int = 1,
               unroll: int = 1,
               step_ratio: float = 1.0,
-              adaptive: bool = False) -> SolverResult:
+              adaptive: bool = False,
+              relax: float = 1.0) -> SolverResult:
         """Run Chambolle-Pock with the given initial state.
 
         :param alpha: overrides the 0.999/lambda_max(L'L) step rule
@@ -405,6 +424,13 @@ class Solver:
             convergent version of hand-tuning ``step_ratio``. The returned
             ``alpha`` is the initial step. Plain CP only (ignored under
             ``accel``).
+        :param relax: over-relaxation factor rho in (0, 2) (Condat 2013):
+            each iterate is (1 - rho) z + rho z~ where z~ is the proximal
+            step. 1.0 (default) is plain CP, iteration-for-iteration
+            identical to the reference; rho ~ 1.8 typically cuts the
+            iteration count by ~1/3 at no extra per-step cost (the carried
+            operator images relax linearly — no additional L/L' applies).
+            Plain CP only (ignored under ``accel``).
         """
         sp = self.__stacked
         x0_np = np.asarray(initial_state, dtype=np.float64).reshape(-1)
@@ -433,6 +459,8 @@ class Solver:
         tic = time.perf_counter()
         if step_ratio <= 0.0:
             raise ValueError(f"step_ratio must be positive, got {step_ratio}")
+        if not 0.0 < relax < 2.0:
+            raise ValueError(f"relax must lie in (0, 2), got {relax}")
         with profiler_cm:
             if accel is None:
                 z, eta, iters, err, hist = _run_cp(
@@ -440,7 +468,8 @@ class Solver:
                     jnp.asarray(alpha * step_ratio, sp.dtype),
                     jnp.asarray(alpha / step_ratio, sp.dtype),
                     jnp.asarray(tol, sp.dtype),
-                    max_iters, log_every, check_every, unroll, adaptive)
+                    max_iters, log_every, check_every, unroll, adaptive,
+                    float(relax))
             elif accel == "anderson":
                 from raocp_tpu.accel import run_cp_anderson
                 z, eta, iters, _evals, err, hist3 = run_cp_anderson(

@@ -219,3 +219,27 @@ def test_objective_matches_risk_recursion_tv():
     assert result.converged
     v0 = risk_value(problem, result.primal.x, result.primal.u)
     assert result.objective == pytest.approx(v0, abs=2e-2, rel=1e-2)
+
+
+def test_over_relaxation_converges_faster():
+    """Relaxed CP (Condat 2013): rho in (0, 2) over-relaxes each proximal
+    step at no extra operator applies. rho = 1.5 must converge to a point
+    satisfying the same feasibility oracles in FEWER iterations than the
+    937 of plain CP (the relaxed fixed-point iteration contracts faster)."""
+    problem, x0 = demo_problem()
+    solver = Solver(problem)
+    res = solver.solve(x0, max_iters=2000, tol=1e-3, relax=1.5)
+    assert res.converged
+    assert res.num_iters < 937
+    checks = solver.validate(res)
+    assert checks["dynamics"] < 1e-8 and checks["kernel"] < 1e-8
+    assert checks["constraints"] < 1e-2
+
+
+def test_relax_out_of_range_raises():
+    problem, x0 = demo_problem()
+    solver = Solver(problem)
+    with pytest.raises(ValueError, match="relax"):
+        solver.solve(x0, max_iters=10, relax=2.0)
+    with pytest.raises(ValueError, match="relax"):
+        solver.solve(x0, max_iters=10, relax=0.0)
