@@ -36,6 +36,7 @@ def main():
         ("mild         MSD(0.5)", r.MeanUpperSemideviation(0.5)),
         ("             L2Ball(0.3)", r.L2Ball(0.3)),
         ("             TV(0.3)", r.TotalVariation(0.3)),
+        ("             W1(0.2)", r.Wasserstein(0.2)),
         ("             AVaR(0.95)", r.AVaR(0.95)),
         ("strong       TV(1.0)", r.TotalVariation(1.0)),
         ("             AVaR(0.5)", r.AVaR(0.5)),

@@ -14,7 +14,7 @@ from raocp_tpu.core.tree import ScenarioTree, MarkovChainScenarioTreeFactory
 from raocp_tpu.core.elements import (Node, Nonleaf, Leaf, NodeKind,
                                      Dynamics, Quadratic, AVaR,
                                      TotalVariation, MeanUpperSemideviation,
-                                     L2Ball,
+                                     Wasserstein, L2Ball,
                                      ConicRisk, ConicForm)
 from raocp_tpu.core.constraints import (
     Ball,
@@ -46,6 +46,7 @@ __all__ = [
     "AVaR",
     "TotalVariation",
     "MeanUpperSemideviation",
+    "Wasserstein",
     "L2Ball",
     "ConicRisk",
     "ConicForm",

@@ -24,6 +24,7 @@ __all__ = ["NodeKind", "Node", "Nonleaf", "Leaf", "Dynamics", "Quadratic",
            "ConicForm", "avar_conic_form", "AVaR", "max_over_ambiguity",
            "tv_conic_form", "TotalVariation",
            "msd_conic_form", "MeanUpperSemideviation",
+           "wasserstein_conic_form", "Wasserstein",
            "l2ball_conic_form", "L2Ball", "ConicRisk"]
 
 
@@ -560,6 +561,108 @@ class MeanUpperSemideviation(_ConicRiskBase):
         cone = "unrealized" if self._conic is None else self._conic.cone.types
         return (f"Risk item; type: {type(self).__name__}, "
                 f"beta: {self._beta}; cone: {cone}")
+
+    __repr__ = __str__
+
+
+def wasserstein_conic_form(radius: float, ground_cost,
+                           child_probs) -> ConicForm:
+    """Realize the Wasserstein-1 (optimal transport) ambiguity set.
+
+    The set is ``{mu in simplex : W_1(mu, pi) <= radius}`` where
+    ``W_1(mu, pi) = min { <C, gamma> : gamma >= 0, gamma 1 = pi,
+    gamma' 1 = mu }`` is the optimal-transport cost between the nominal
+    child distribution pi and mu under the ground-cost matrix
+    ``C[i, j] >= 0`` (cost of moving mass from child i to child j;
+    ``None`` defaults to ``|i - j|``, the natural metric when children are
+    ordered by mode). On finite support this is polyhedral: with the
+    transport plan as auxiliary variables ``nu = vec(gamma)``
+    (``nu[i*c + j] = gamma[i, j]``) the conic form (same
+    ``{mu : exists nu, b - E mu - F nu in K}`` convention as
+    :func:`avar_conic_form`) is
+
+      <vec(C), nu> <= radius ;  -nu <= 0          (1 + c^2 NnOC rows, E = 0)
+      (I kron 1') nu = pi                         (c Zero rows, E = 0)
+      mu - (1' kron I) nu = 0                     (c Zero rows, E = I)
+
+    ``mu >= 0`` and ``1'mu = 1`` follow from the marginal rows, so no
+    simplex rows are needed. The discrete metric ``C = 1 - I`` recovers the
+    total-variation ball of radius ``2 * radius`` (W_1 with the 0/1 cost is
+    half the L1 distance) — the oracle used in tests. The reference ships
+    only AVaR (``risks.py:5``); this plugs into its risk-agnostic conic
+    machinery (``cache.py:235-247``) via the generic stacked layer.
+    """
+    pi = np.asarray(child_probs, dtype=np.float64).reshape(-1)
+    c = pi.size
+    if ground_cost is None:
+        idx = np.arange(c, dtype=np.float64)
+        cost = np.abs(idx[:, None] - idx[None, :])
+    else:
+        cost = np.asarray(ground_cost, dtype=np.float64)
+        if cost.shape != (c, c):
+            raise ValueError(
+                f"ground_cost must be ({c}, {c}) for {c} children, "
+                f"got {cost.shape}")
+        if (cost < 0.0).any():
+            raise ValueError("ground_cost entries must be nonnegative")
+    w = c * c
+    eye_c = np.eye(c)
+    ones_r = np.ones((1, c))
+    # NnOC block: transport budget + plan nonnegativity
+    e_nn = np.zeros((1 + w, c))
+    f_nn = np.concatenate([cost.reshape(1, w), -np.eye(w)], axis=0)
+    b_nn = np.concatenate([[float(radius)], np.zeros(w)])
+    # Zero block: row marginals (= pi), then column marginals (= mu)
+    e_zero = np.concatenate([np.zeros((c, c)), eye_c], axis=0)
+    f_zero = np.concatenate([np.kron(eye_c, ones_r),
+                             -np.kron(ones_r, eye_c)], axis=0)
+    b_zero = np.concatenate([pi, np.zeros(c)])
+    matrix_e = np.concatenate([e_nn, e_zero], axis=0)
+    matrix_f = np.concatenate([f_nn, f_zero], axis=0)
+    cone = cones.Cartesian([cones.NonnegativeOrthant(dimension=1 + w),
+                            cones.Zero(dimension=2 * c)])
+    vector_b = np.concatenate([b_nn, b_zero]).reshape(-1, 1)
+    return ConicForm(matrix_e, matrix_f, cone, vector_b)
+
+
+class Wasserstein(_ConicRiskBase):
+    """Distributionally robust expectation over a Wasserstein-1 ball.
+
+    ``rho(Z) = max { E_mu[Z] : mu in simplex, W_1(mu, pi) <= radius }``
+    under the ground-cost matrix ``ground_cost`` (``None`` = ``|i - j|``
+    on the child indices). Unlike :class:`TotalVariation` (which charges
+    every reallocation equally), the transport cost makes shifting mass to
+    NEARBY modes cheap and to distant ones expensive — the standard
+    data-driven ambiguity set when modes carry a geometry. ``radius = 0``
+    is the expectation; with the discrete metric (``1 - I``) it equals
+    ``TotalVariation(2 * radius)``. Coherent for any radius >= 0.
+    """
+
+    def __init__(self, radius: float, ground_cost=None):
+        if radius < 0.0:
+            raise ValueError(
+                f"Wasserstein radius must be nonnegative, got {radius}")
+        super().__init__()
+        self._radius = float(radius)
+        self._ground_cost = (None if ground_cost is None
+                             else np.asarray(ground_cost, dtype=np.float64))
+
+    @property
+    def radius(self) -> float:
+        return self._radius
+
+    @property
+    def ground_cost(self) -> Optional[np.ndarray]:
+        return self._ground_cost
+
+    def _make_form(self, child_probs: np.ndarray) -> ConicForm:
+        return wasserstein_conic_form(self._radius, self._ground_cost,
+                                      child_probs)
+
+    def __str__(self) -> str:
+        cone = "unrealized" if self._conic is None else self._conic.cone.types
+        return (f"Risk item; type: {type(self).__name__}, "
+                f"radius: {self._radius}; cone: {cone}")
 
     __repr__ = __str__
 

@@ -513,3 +513,117 @@ def test_l2ball_solve_end_to_end():
     assert res_0.converged and res_e.converged
     np.testing.assert_allclose(np.asarray(res_0.primal.x),
                                np.asarray(res_e.primal.x), atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# Wasserstein: optimal-transport ambiguity sets (flow auxiliaries, F != 0)
+# ---------------------------------------------------------------------------
+
+def test_wasserstein_matches_tv_under_discrete_metric():
+    """W_1 with the 0/1 ground cost is half the L1 distance, so the
+    Wasserstein ball of radius r must equal the TV ball of radius 2r —
+    an exact independent oracle of the transport-plan conic form."""
+    from raocp_tpu.core.elements import Wasserstein
+
+    pi = np.array([0.5, 0.3, 0.2])
+    discrete = 1.0 - np.eye(3)
+    for r in (0.0, 0.1, 0.25, 1.0):
+        w = Wasserstein(r, ground_cost=discrete).for_children(pi)
+        tv = TotalVariation(2 * r).for_children(pi)
+        for _ in range(5):
+            z = RNG.standard_normal(3)
+            assert w.evaluate(z) == pytest.approx(tv.evaluate(z), abs=1e-8)
+
+
+def test_wasserstein_limits_and_geometry():
+    from raocp_tpu.core.elements import Wasserstein
+
+    pi = np.array([0.5, 0.3, 0.2])
+    z = np.array([0.0, 1.0, 5.0])
+    # radius 0: the nominal expectation; radius >= max cost: worst case
+    assert Wasserstein(0.0).for_children(pi).evaluate(z) == \
+        pytest.approx(float(pi @ z), abs=1e-9)
+    assert Wasserstein(10.0).for_children(pi).evaluate(z) == \
+        pytest.approx(float(z.max()), abs=1e-8)
+    # geometry: under |i-j| the budget-0.3 adversary moves mass from the
+    # NEAR child 1 (cost 1/unit, gain 4/unit -> +1.2); the discrete metric
+    # lets it come from anywhere (gain 5/unit from child 0 -> +1.5)
+    near = Wasserstein(0.3).for_children(pi).evaluate(z)
+    disc = Wasserstein(0.3, ground_cost=1.0 - np.eye(3)).for_children(pi)
+    assert near == pytest.approx(float(pi @ z) + 1.2, abs=1e-8)
+    assert disc.evaluate(z) == pytest.approx(float(pi @ z) + 1.5, abs=1e-8)
+
+
+def test_wasserstein_conic_form_membership():
+    """Every mu admitted by the conic rows is in the W_1 ball and vice
+    versa (checked by solving the transport LP directly)."""
+    import scipy.optimize
+    from raocp_tpu.core.elements import wasserstein_conic_form
+
+    pi = np.array([0.4, 0.35, 0.25])
+    r = 0.5
+    form = wasserstein_conic_form(r, None, pi)
+    c = 3
+    idx = np.arange(c, dtype=float)
+    cost = np.abs(idx[:, None] - idx[None, :])
+
+    def w1(mu):
+        # min <C, gamma> s.t. gamma >= 0, row sums = pi, col sums = mu
+        a_eq = np.concatenate([np.kron(np.eye(c), np.ones((1, c))),
+                               np.kron(np.ones((1, c)), np.eye(c))], axis=0)
+        b_eq = np.concatenate([pi, mu])
+        res = scipy.optimize.linprog(cost.reshape(-1), A_eq=a_eq, b_eq=b_eq,
+                                     bounds=[(0, None)] * (c * c),
+                                     method="highs")
+        return res.fun if res.success else np.inf
+
+    def member(mu):
+        # feasibility of the conic rows: exists nu with the NnOC/Zero split
+        w = c * c
+        res = scipy.optimize.linprog(
+            np.zeros(w),
+            A_ub=form.matrix_f[:1 + w],
+            b_ub=(form.vector_b[:1 + w].reshape(-1)
+                  - form.matrix_e[:1 + w] @ mu),
+            A_eq=form.matrix_f[1 + w:],
+            b_eq=(form.vector_b[1 + w:].reshape(-1)
+                  - form.matrix_e[1 + w:] @ mu),
+            bounds=[(None, None)] * w, method="highs")
+        return res.status == 0
+
+    for _ in range(20):
+        d = RNG.standard_normal(3)
+        mu = np.abs(d) / np.abs(d).sum()
+        assert member(mu) == (w1(mu) <= r + 1e-9)
+
+
+def test_wasserstein_validation():
+    from raocp_tpu.core.elements import Wasserstein
+
+    with pytest.raises(ValueError, match="radius"):
+        Wasserstein(-0.1)
+    with pytest.raises(ValueError, match="ground_cost"):
+        Wasserstein(0.5, ground_cost=np.ones((2, 2))).for_children(
+            np.array([0.5, 0.3, 0.2]))
+    with pytest.raises(ValueError, match="nonnegative"):
+        Wasserstein(0.5, ground_cost=-np.ones((3, 3))).for_children(
+            np.array([0.5, 0.3, 0.2]))
+
+
+def test_wasserstein_solve_end_to_end():
+    """Wasserstein-risk demo problem (transport-plan auxiliaries in the
+    kernel rows): converges, feasible, and the optimal cost matches the
+    independent host-side risk recursion."""
+    from raocp_tpu import Wasserstein
+    from raocp_tpu.solver import Solver
+    from raocp_tpu.utils.evaluate import risk_value
+
+    problem, x0 = demo_problem(risk=Wasserstein(0.4))
+    solver = Solver(problem)
+    res = solver.solve(x0, max_iters=8000, tol=1e-4)
+    assert res.converged
+    checks = solver.validate()
+    assert checks["dynamics"] < 1e-8
+    assert checks["kernel"] < 1e-8
+    v0 = risk_value(problem, res.primal.x, res.primal.u)
+    assert res.objective == pytest.approx(v0, abs=2e-2, rel=1e-2)
