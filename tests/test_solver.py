@@ -243,3 +243,15 @@ def test_relax_out_of_range_raises():
         solver.solve(x0, max_iters=10, relax=2.0)
     with pytest.raises(ValueError, match="relax"):
         solver.solve(x0, max_iters=10, relax=0.0)
+
+
+def test_relax_composes_with_production_loop_config():
+    """relax must apply identically inside the statically-placed-check
+    branch (unroll == check_every, the production configuration)."""
+    problem, x0 = demo_problem()
+    solver = Solver(problem)
+    res = solver.solve(x0, max_iters=2000, tol=1e-3, relax=1.5,
+                       check_every=25, unroll=25)
+    assert res.converged
+    checks = solver.validate(res)
+    assert checks["dynamics"] < 1e-8 and checks["kernel"] < 1e-8
