@@ -506,6 +506,83 @@ class Solver:
         )
         return self.__result
 
+    def solve_batch(self, initial_states, max_iters: int = 10,
+                    tol: float = 1e-5, alpha: Optional[float] = None,
+                    check_every: int = 1, unroll: int = 1,
+                    step_ratio: float = 1.0, adaptive: bool = False,
+                    relax: float = 1.0) -> list:
+        """Solve the SAME problem for a BATCH of initial states in one
+        device program — ``jax.vmap`` of the whole CP loop over the leading
+        batch axis. A capability with no reference counterpart (one
+        ``chock`` call per scenario there): on TPU the batched matmuls keep
+        the MXU busy across lanes, so B solves cost far less than B
+        sequential calls for small/medium trees.
+
+        Per-element semantics are EXACT: under vmap the ``while_loop``
+        freezes converged lanes (carry select), so each element stops at
+        its own iteration count — an element with the single-solve's
+        initial state reproduces its iteration count exactly and its
+        iterates to machine precision (tested: the 937-parity element
+        inside a batch). Wall-clock is the max over the batch.
+
+        Accepts the plain-CP options of :meth:`solve` (no ``accel`` /
+        ``log_every`` / ``warm_start``). Returns a list of
+        :class:`SolverResult`, one per initial state, sharing the batch
+        wall-clock time.
+        """
+        sp = self.__stacked
+        x0s = np.asarray(initial_states, dtype=np.float64)
+        if x0s.ndim != 2 or x0s.shape[1] != sp.n:
+            raise ValueError(
+                f"initial_states must be [batch, {sp.n}], got {x0s.shape}")
+        batch = x0s.shape[0]
+        if alpha is None:
+            lam, _ = _power_iteration(sp)
+            alpha = 0.999 / float(lam)
+        if step_ratio <= 0.0:
+            raise ValueError(f"step_ratio must be positive, got {step_ratio}")
+        if not 0.0 < relax < 2.0:
+            raise ValueError(f"relax must lie in (0, 2), got {relax}")
+        z0 = sp.zero_primal(xp=np)
+        z0s = jax.tree_util.tree_map(
+            lambda v: np.broadcast_to(v, (batch,) + v.shape).copy(), z0)
+        z0s.x[:, 0, :] = x0s.astype(z0s.x.dtype)
+        eta0 = sp.zero_dual(xp=np)
+        eta0s = jax.tree_util.tree_map(
+            lambda v: np.broadcast_to(v, (batch,) + v.shape).copy(), eta0)
+        run = jax.vmap(
+            partial(_run_cp, max_iters=max_iters, check_every=check_every,
+                    unroll=unroll, adaptive=adaptive, relax=float(relax)),
+            in_axes=(None, 0, 0, 0, None, None, None))
+        tic = time.perf_counter()
+        z, eta, iters, err, hist = run(
+            sp, tuple(z0s), tuple(eta0s), jnp.asarray(x0s, sp.dtype),
+            jnp.asarray(alpha * step_ratio, sp.dtype),
+            jnp.asarray(alpha / step_ratio, sp.dtype),
+            jnp.asarray(tol, sp.dtype))
+        jax.block_until_ready(err)
+        toc = time.perf_counter()
+        iters = np.asarray(iters)
+        err = np.asarray(err)
+        hist = np.asarray(hist)
+        z = jax.tree_util.tree_map(np.asarray, Primal(*z))
+        eta = jax.tree_util.tree_map(np.asarray, Dual(*eta))
+        results = []
+        for b in range(batch):
+            nb = int(iters[b])
+            results.append(SolverResult(
+                status=0 if float(err[b].max()) <= tol else 1,
+                num_iters=nb,
+                xi=err[b],
+                xi_history=hist[b, :nb, :3],
+                delta_history=hist[b, :nb, 3:],
+                alpha=float(alpha),
+                solve_time=toc - tic,
+                primal=jax.tree_util.tree_map(lambda v, b=b: v[b], z),
+                dual=jax.tree_util.tree_map(lambda v, b=b: v[b], eta),
+            ))
+        return results
+
     def chock(self, initial_state, max_iters: int = 10,
               tol: float = 1e-5) -> int:
         """Reference-parity entry point (``solver.py:97``): returns 0 on

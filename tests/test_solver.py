@@ -255,3 +255,31 @@ def test_relax_composes_with_production_loop_config():
     assert res.converged
     checks = solver.validate(res)
     assert checks["dynamics"] < 1e-8 and checks["kernel"] < 1e-8
+
+
+def test_solve_batch_elementwise_parity():
+    """solve_batch vmaps the whole CP loop over initial states with exact
+    per-element stopping (converged lanes freeze): the element carrying the
+    reference initial state must reproduce the single-solve's 937
+    iterations, and every element must satisfy the feasibility oracles."""
+    problem, x0 = demo_problem()
+    solver = Solver(problem)
+    x0s = np.stack([np.asarray(x0), 0.5 * np.asarray(x0),
+                    -0.3 * np.asarray(x0)])
+    results = solver.solve_batch(x0s, max_iters=2000, tol=1e-3)
+    assert len(results) == 3
+    assert all(r.converged for r in results)
+    assert results[0].num_iters == 937
+    single = solver.solve(x0, max_iters=2000, tol=1e-3)
+    np.testing.assert_allclose(results[0].primal.x, single.primal.x,
+                               atol=1e-12)
+    for r in results:
+        checks = solver.validate(r)
+        assert checks["dynamics"] < 1e-8 and checks["kernel"] < 1e-8
+
+
+def test_solve_batch_validation():
+    problem, x0 = demo_problem()
+    solver = Solver(problem)
+    with pytest.raises(ValueError, match="initial_states"):
+        solver.solve_batch(np.asarray(x0), max_iters=10)
