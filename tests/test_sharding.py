@@ -141,3 +141,32 @@ def test_sharded_step_matches_with_l2ball_and_polyhedral():
     for a, b in zip(jax.tree_util.tree_leaves(out),
                     jax.tree_util.tree_leaves(ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-10)
+
+
+def test_sharded_step_matches_with_wasserstein():
+    """Wasserstein risks carry c^2 transport-plan auxiliaries in the kernel
+    projectors and wide padded y rows (c^2 + 2c + 1): the CP step must stay
+    sharded-vs-single-device identical on the 8-device mesh."""
+    from raocp_tpu import Wasserstein
+
+    problem, x0 = demo_problem(risk=Wasserstein(0.4))
+    sp = build_stacked(problem, pad_multiple=8)
+    mesh = make_mesh(num_devices=8)
+    sp_sharded = shard_problem(sp, mesh)
+
+    rng = np.random.default_rng(7)
+    z = jax.tree_util.tree_map(jnp.asarray, random_primal(sp, rng))
+    eta = jax.tree_util.tree_map(jnp.asarray, random_dual(sp, rng))
+    Lz = ell(sp, z)
+    LtEta = ell_t(sp, eta)
+    alpha = 0.2
+    x0j = jnp.asarray(x0, sp.dtype)
+
+    ref = jax.jit(cp_iteration)(sp, z, eta, Lz, LtEta, alpha, alpha, x0j)
+    out = jax.jit(cp_iteration)(
+        sp_sharded, shard_variables(z, mesh), shard_variables(eta, mesh),
+        shard_variables(Lz, mesh), shard_variables(LtEta, mesh),
+        alpha, alpha, x0j)
+    for a, b in zip(jax.tree_util.tree_leaves(out),
+                    jax.tree_util.tree_leaves(ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-10)
