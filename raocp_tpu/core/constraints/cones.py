@@ -18,9 +18,9 @@ def _check_dimension(cone_type, cone_dimension, vector):
         cone_dimension = vector_dimension
     if cone_dimension != vector_dimension:
         raise ValueError(
-            "%s cone dimension error: cone dimension = %d, "
-            "input vector dimension = %d"
-            % (cone_type, cone_dimension, vector_dimension))
+            f"{cone_type}: expected a vector of dimension "
+            f"{cone_dimension}, received one of dimension "
+            f"{vector_dimension}")
     return vector_dimension
 
 
@@ -100,7 +100,8 @@ class SecondOrderCone:
                                             vector)
         if self.__dimension < 3:
             raise Exception(
-                "Attempt to project a vector of size < 3 onto second order cone")
+                "second-order-cone projection needs at least 3 entries "
+                f"(members + radial); got {self.__dimension}")
         flat = np.asarray(vector, dtype=np.float64).reshape(-1)
         x, t = flat[:-1], flat[-1]
         nx = np.linalg.norm(x)

@@ -605,6 +605,18 @@ def wasserstein_conic_form(radius: float, ground_cost,
                 f"got {cost.shape}")
         if (cost < 0.0).any():
             raise ValueError("ground_cost entries must be nonnegative")
+        # Feasibility: any transport plan with row marginals pi costs at
+        # least sum_i pi_i min_j C[i, j] (each unit of mass from child i
+        # must go SOMEWHERE). A zero-diagonal (metric) ground cost makes
+        # this 0; a positive diagonal can silently empty the ambiguity set
+        # — the CP solve then never converges with no diagnosable error.
+        min_cost = float(pi @ cost.min(axis=1))
+        if radius < min_cost - 1e-12:
+            raise ValueError(
+                f"empty Wasserstein ambiguity set: radius {radius} is "
+                f"below the cheapest feasible transport cost "
+                f"sum_i pi_i min_j C[i, j] = {min_cost}; use a larger "
+                "radius or a ground cost with a zero diagonal (a metric)")
     w = c * c
     eye_c = np.eye(c)
     ones_r = np.ones((1, c))

@@ -26,14 +26,15 @@ __all__ = ["ScenarioTree", "MarkovChainScenarioTreeFactory"]
 def _check_probability_vector(p) -> None:
     p = np.asarray(p, dtype=float)
     if abs(p.sum() - 1.0) >= 1e-10:
-        raise ValueError("probability vector does not sum up to 1")
+        raise ValueError(f"probabilities must total 1 (sum = {p.sum()!r})")
     if (p <= -1e-16).any():
         raise ValueError("probability vector contains negative entries")
 
 
 def _check_stopping_time(num_stages: int, stopping_time: int) -> None:
     if stopping_time > num_stages:
-        raise ValueError("stopping time greater than number of stages")
+        raise ValueError(f"stopping time ({stopping_time}) cannot exceed "
+                         f"the horizon ({num_stages} stages)")
 
 
 class ScenarioTree:

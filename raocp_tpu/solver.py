@@ -361,6 +361,17 @@ class Solver:
                                        pad_multiple=pad_multiple,
                                        offline=offline)
         self.__result: Optional[SolverResult] = None
+        self.__lambda_max: Optional[float] = None
+
+    def operator_norm_sq(self) -> float:
+        """lambda_max(L'L), memoised per Solver. The stacked problem is
+        immutable once built, so ||L|| never changes — warm-started MPC
+        loops and repeated :meth:`solve` calls pay the power iteration
+        (hundreds of L/L' applies at rel_tol 1e-12) exactly once."""
+        if self.__lambda_max is None:
+            lam, _ = _power_iteration(self.__stacked)
+            self.__lambda_max = float(lam)
+        return self.__lambda_max
 
     @property
     def stacked(self) -> StackedProblem:
@@ -430,7 +441,11 @@ class Solver:
             identical to the reference; rho ~ 1.8 typically cuts the
             iteration count by ~1/3 at no extra per-step cost (the carried
             operator images relax linearly — no additional L/L' applies).
-            Plain CP only (ignored under ``accel``).
+            Note rho is a STATIC jit argument (keeps the plain-CP program
+            free of the four relaxation axpys): every distinct value
+            recompiles the loop — minutes on a tunnelled TPU backend, so
+            avoid fine-grained rho sweeps on hardware. Plain CP only
+            (ignored under ``accel``).
         """
         sp = self.__stacked
         x0_np = np.asarray(initial_state, dtype=np.float64).reshape(-1)
@@ -438,8 +453,7 @@ class Solver:
         if x0.shape != (sp.n,):
             raise ValueError(f"initial state must have {sp.n} entries")
         if alpha is None:
-            lam, _ = _power_iteration(sp)
-            alpha = 0.999 / float(lam)
+            alpha = 0.999 / self.operator_norm_sq()
         if warm_start is None:
             # host-side cold start (no eager device dispatch); the jitted
             # loop transfers the zeros once at call time
@@ -528,7 +542,10 @@ class Solver:
         Accepts the plain-CP options of :meth:`solve` (no ``accel`` /
         ``log_every`` / ``warm_start``). Returns a list of
         :class:`SolverResult`, one per initial state, sharing the batch
-        wall-clock time.
+        wall-clock time. :attr:`result` is cleared (a later no-arg
+        :meth:`validate` / plot call must not silently operate on a stale
+        single-solve result) — validate batch elements explicitly via
+        ``solver.validate(results[b])``.
         """
         sp = self.__stacked
         x0s = np.asarray(initial_states, dtype=np.float64)
@@ -537,8 +554,7 @@ class Solver:
                 f"initial_states must be [batch, {sp.n}], got {x0s.shape}")
         batch = x0s.shape[0]
         if alpha is None:
-            lam, _ = _power_iteration(sp)
-            alpha = 0.999 / float(lam)
+            alpha = 0.999 / self.operator_norm_sq()
         if step_ratio <= 0.0:
             raise ValueError(f"step_ratio must be positive, got {step_ratio}")
         if not 0.0 < relax < 2.0:
@@ -567,6 +583,7 @@ class Solver:
         hist = np.asarray(hist)
         z = jax.tree_util.tree_map(np.asarray, Primal(*z))
         eta = jax.tree_util.tree_map(np.asarray, Dual(*eta))
+        self.__result = None     # no single "current" result after a batch
         results = []
         for b in range(batch):
             nb = int(iters[b])

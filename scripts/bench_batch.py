@@ -72,7 +72,18 @@ def main() -> None:
     bat_s = time.perf_counter() - t0
 
     assert all(r.converged for r in seq) and all(r.converged for r in bat)
-    assert [r.num_iters for r in seq] == [r.num_iters for r in bat]
+    # On real TPU float32, batched-vs-unbatched matmul tiling can perturb an
+    # iterate enough to shift a lane across a check_every boundary — allow
+    # counts to differ by one check period instead of asserting equality.
+    for rs, rb in zip(seq, bat):
+        diff = abs(rs.num_iters - rb.num_iters)
+        if diff > 25:
+            raise AssertionError(
+                f"batched iteration count drifted beyond one check period: "
+                f"{rs.num_iters} vs {rb.num_iters}")
+        if diff:
+            print(f"note: lane count {rb.num_iters} vs sequential "
+                  f"{rs.num_iters} (within one check period)", flush=True)
     print(json.dumps({
         "metric": f"solve_batch_speedup_b{args.batch}",
         "nodes": int(problem.tree.num_nodes),

@@ -283,3 +283,55 @@ def test_solve_batch_validation():
     solver = Solver(problem)
     with pytest.raises(ValueError, match="initial_states"):
         solver.solve_batch(np.asarray(x0), max_iters=10)
+
+
+def test_operator_norm_memoised(monkeypatch):
+    """One power iteration per Solver: repeated solves (MPC warm-start
+    loops) must not re-estimate ||L|| on an unchanged problem."""
+    import raocp_tpu.solver as solver_mod
+
+    calls = {"n": 0}
+    real = solver_mod._power_iteration
+
+    def counting(sp, *a, **k):
+        calls["n"] += 1
+        return real(sp, *a, **k)
+
+    monkeypatch.setattr(solver_mod, "_power_iteration", counting)
+    problem, x0 = lqr_binary_problem(num_stages=3)
+    solver = Solver(problem)
+    solver.solve(x0, max_iters=50, tol=1e-3)
+    solver.solve(x0, max_iters=50, tol=1e-3)
+    solver.solve_batch(np.stack([np.asarray(x0)] * 2), max_iters=50,
+                       tol=1e-3)
+    assert calls["n"] == 1
+    # a fresh Solver estimates again (no cross-instance leakage)
+    solver2 = Solver(problem)
+    solver2.solve(x0, max_iters=50, tol=1e-3)
+    assert calls["n"] == 2
+
+
+def test_solve_batch_clears_current_result():
+    """After solve_batch there is no single 'current' result: a no-arg
+    validate() must fail loudly instead of silently reusing a stale
+    single-solve result."""
+    problem, x0 = demo_problem()
+    solver = Solver(problem)
+    solver.solve(x0, max_iters=50, tol=1e-3)
+    assert solver.result is not None
+    solver.solve_batch(np.stack([np.asarray(x0)]), max_iters=50, tol=1e-3)
+    assert solver.result is None
+    with pytest.raises(RuntimeError, match="no solve result"):
+        solver.validate()
+
+
+def test_wasserstein_empty_ball_rejected():
+    """A ground cost whose cheapest feasible plan exceeds the radius makes
+    the ambiguity set empty — realization must reject it, not let the CP
+    solve silently stall (ADVICE r2)."""
+    from raocp_tpu import Wasserstein
+    from raocp_tpu.models import demo_problem as _demo
+
+    bad_cost = np.ones((3, 3))          # every move (even staying) costs 1
+    with pytest.raises(ValueError, match="empty Wasserstein"):
+        _demo(risk=Wasserstein(0.5, ground_cost=bad_cost))
