@@ -89,8 +89,8 @@ class StackedProblem:
     risk_soc_tail: Optional[jax.Array]
 
     # -- problem data ----------------------------------------------------------
-    A: jax.Array            # [num_nodes, n, n]; row 0 zero
-    B: jax.Array            # [num_nodes, n, m]; row 0 zero
+    A: Optional[jax.Array]  # [num_nodes, n, n]; row 0 zero (dense; optional —
+    B: Optional[jax.Array]  # [num_nodes, n, m]  the kernels use Am/Bm/ABm)
     Am: ModalMatrix         # mode-grouped A (mode 0 = zero; root/pad rows)
     Bm: ModalMatrix         # mode-grouped B
     ABm: ModalMatrix        # mode-grouped [A | B] ([M, n, n+m]) — one fused
@@ -146,12 +146,19 @@ class StackedProblem:
     sumapb_s: Tuple[Optional[jax.Array], ...]  # [n, m]
 
     # -- offline factorisations --------------------------------------------------
-    P: jax.Array            # [num_nodes, n, n] Riccati-like matrices
-    Rinv: jax.Array         # [num_nonleaf, m, m] (I + sum B'PB)^{-1}
-    K: jax.Array            # [num_nonleaf, m, n] feedback gains
-    Abar: jax.Array         # [num_nodes, n, n] A + B K_parent; row 0 zero
-    sumAPB: jax.Array       # [num_nonleaf, n, m] sum_children Abar'P B
-    Pi: jax.Array           # [num_nonleaf, D, D] kernel projectors (padded)
+    # The dense per-node stacks are OPTIONAL: the solve loop reads them only
+    # on stages without stage-constant tables (k_s/rinv_s/sumapb_s), and
+    # A/B/P/Abar never (the sweeps use the mode-grouped/stage forms). On a
+    # fully stage-constant tree they are ~5 x [N, n, n]-class arrays of dead
+    # HBM (~3.5 GB at 1e5 nodes / 50 states f32), so build_stacked
+    # materialises each stack only when the solve needs it (or
+    # ``keep_dense=True`` forces them, e.g. for offline-parity tests).
+    P: Optional[jax.Array]       # [num_nodes, n, n] Riccati-like matrices
+    Rinv: Optional[jax.Array]    # [num_nonleaf, m, m] (I + sum B'PB)^{-1}
+    K: Optional[jax.Array]       # [num_nonleaf, m, n] feedback gains
+    Abar: Optional[jax.Array]    # [num_nodes, n, n] A + B K_parent; row 0 zero
+    sumAPB: Optional[jax.Array]  # [num_nonleaf, n, m] sum_children Abar'P B
+    Pi: jax.Array                # [num_nonleaf, D, D] kernel projectors (padded)
 
     # -- convenience -----------------------------------------------------------
 
@@ -165,7 +172,7 @@ class StackedProblem:
 
     @property
     def dtype(self):
-        return self.A.dtype
+        return self.b_pad.dtype
 
     @property
     def nl_rows(self) -> int:
@@ -628,7 +635,8 @@ def _pad0(arr: np.ndarray, rows: int, fill: float = 0.0) -> np.ndarray:
 
 
 def build_stacked(spec: RAOCP, dtype=None,
-                  pad_multiple: int = 1, offline: str = "host") -> StackedProblem:
+                  pad_multiple: int = 1, offline: str = "host",
+                  keep_dense: bool = False) -> StackedProblem:
     """Materialise a :class:`StackedProblem` from a problem specification.
 
     ``pad_multiple``: pad each node space (all-node / nonleaf / leaf) to a
@@ -637,11 +645,19 @@ def build_stacked(spec: RAOCP, dtype=None,
     operator/prox (see tests/test_sharding.py).
 
     ``offline``: where the Riccati-like factorisation runs. ``"host"``
-    computes it in numpy and transfers the dense [N, n, n] stacks (exact
-    reference parity in float64); ``"device"`` transfers only the per-mode
-    dynamics + index plans and runs the factorisation as one jitted program
-    on the accelerator (:func:`_riccati_device`) — the right choice at scale
-    or behind a slow host<->device link.
+    computes it in numpy (exact reference parity in float64); ``"device"``
+    transfers only the per-mode dynamics + index plans and runs the
+    factorisation as one jitted program on the accelerator
+    (:func:`_riccati_device`) — the right choice at scale or behind a slow
+    host<->device link.
+
+    ``keep_dense``: force the dense per-node stacks (A/B/P/Rinv/K/Abar/
+    sumAPB) onto the device. By default only the stacks the solve loop
+    actually reads are materialised: on a fully stage-constant tree that is
+    NONE of them (the sweeps use the per-stage tables and mode-grouped
+    forms), which frees ~5 [N, n, n]-class arrays of HBM at scale; on trees
+    with ragged stages the K/Rinv/sumAPB stacks are kept for the fallback
+    sweep paths.
     """
     if dtype is None:
         dtype = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
@@ -663,8 +679,6 @@ def build_stacked(spec: RAOCP, dtype=None,
 
     NP_, NLP, LFP = up(N), up(NL), up(LF)
 
-    if offline == "host":
-        A, B, P, Rinv, K, Abar, sumAPB = _offline_riccati(spec, n, m)
     Pi = _offline_kernel_projectors(spec, d, Y)
 
     def modal_stack(fetch, start: int, stop: int, offset: int, rows: int,
@@ -794,20 +808,40 @@ def build_stacked(spec: RAOCP, dtype=None,
     else:
         qr_fwd = qr_bwd = tuple(None for _ in stage_child)
 
-    if offline == "device":
+    # Which dense stacks does the solve actually read? K/Rinv/sumAPB only
+    # on stages without stage-constant tables; A/B/P/Abar never (the sweeps
+    # use the mode-grouped / per-stage forms). fully_const implies every
+    # stage has tables (stage_const is a suffix property).
+    fully_const = bool(ns_nl) and stage_const[0]
+    need_kr = keep_dense or not fully_const
+
+    A_dev = B_dev = P_dev = Rinv_dev = K_dev = None
+    Abar_dev = sumAPB_dev = None
+    k_s = rinv_s = sumapb_s = None
+
+    if fully_const and not keep_dense:
+        # No dense stacks at all: the Riccati recursion runs on the host
+        # over ONE tiny matrix per stage (microseconds, float64) and only
+        # the per-stage tables — a few KB — reach the device. This is both
+        # the fastest setup path and the memory floor (at 1e5 nodes / 50
+        # states the dense stacks it avoids are ~3.5 GB of dead HBM).
+        _, K_sl, Rinv_sl, APB_sl, _ = _offline_riccati_stage(
+            modes_a, modes_b, ab_pat)
+        k_s = tuple(dev(t) for t in K_sl)
+        rinv_s = tuple(dev(t) for t in Rinv_sl)
+        sumapb_s = tuple(dev(t) for t in APB_sl)
+    elif offline == "device":
         @jax.jit
         def _expand(ma, mb, idx):
             return ma[idx], mb[idx]
 
-        A_dev, B_dev = _expand(Am.modes, Bm.modes, idx_dev)
-        ns_nl_ = len(stage_child)
-        if ns_nl_ and stage_const[0]:
-            # Fully stage-constant tree: run the Riccati recursion on the
-            # host over ONE tiny matrix per stage, transfer only the stage
-            # tables, and expand the dense stacks on device by broadcast.
-            # The general device program (_riccati_device) over [N, n, n]
-            # stacks takes tens of minutes just to COMPILE at 1e5 nodes
-            # behind the tunnelled backend; this path is milliseconds.
+        if fully_const:
+            # keep_dense on a fully stage-constant tree: expand the stage
+            # tables on device by broadcast. The general device program
+            # (_riccati_device) over [N, n, n] stacks takes tens of minutes
+            # just to COMPILE at 1e5 nodes behind the tunnelled backend;
+            # this path is milliseconds.
+            A_dev, B_dev = _expand(Am.modes, Bm.modes, idx_dev)
             P_sl, K_sl, Rinv_sl, APB_sl, Abar_sl = _offline_riccati_stage(
                 modes_a, modes_b, ab_pat)
             widths = tuple(stage_start[k + 1] - stage_start[k]
@@ -846,23 +880,32 @@ def build_stacked(spec: RAOCP, dtype=None,
                 tuple(to_dt(t) for t in APB_sl),
                 tuple(to_dt(t) for t in Abar_sl))
         else:
+            A_dev, B_dev = _expand(Am.modes, Bm.modes, idx_dev)
             P_dev, Rinv_dev, K_dev, Abar_dev, sumAPB_dev = \
                 _riccati_device_jit(
                     A_dev, B_dev, child_idx_dev, child_mask_dev, anc_dev,
                     stage_start, num_nonleaf=NL, nl_pad=NLP)
+            if not keep_dense:   # transient inputs/outputs of the program
+                A_dev = B_dev = P_dev = Abar_dev = None
     else:
-        A_dev, B_dev = dev(_pad0(A, NP_)), dev(_pad0(B, NP_))
-        P_dev, Rinv_dev, K_dev = dev(_pad0(P, NP_)), dev(_pad0(Rinv, NLP)), \
-            dev(_pad0(K, NLP))
-        Abar_dev, sumAPB_dev = dev(_pad0(Abar, NP_)), dev(_pad0(sumAPB, NLP))
+        A, B, P, Rinv, K, Abar, sumAPB = _offline_riccati(spec, n, m)
+        if keep_dense:
+            A_dev, B_dev = dev(_pad0(A, NP_)), dev(_pad0(B, NP_))
+            P_dev = dev(_pad0(P, NP_))
+            Abar_dev = dev(_pad0(Abar, NP_))
+        Rinv_dev, K_dev = dev(_pad0(Rinv, NLP)), dev(_pad0(K, NLP))
+        sumAPB_dev = dev(_pad0(sumAPB, NLP))
 
-    # representative rows for stage-constant stages (first node of stage)
-    k_s = tuple(K_dev[stage_start[k]] if stage_const[k] else None
-                for k in range(ns_nl))
-    rinv_s = tuple(Rinv_dev[stage_start[k]] if stage_const[k] else None
-                   for k in range(ns_nl))
-    sumapb_s = tuple(sumAPB_dev[stage_start[k]] if stage_const[k] else None
-                     for k in range(ns_nl))
+    if k_s is None:
+        # representative rows for stage-constant stages (first node of stage)
+        k_s = tuple(K_dev[stage_start[k]] if stage_const[k] else None
+                    for k in range(ns_nl))
+        rinv_s = tuple(Rinv_dev[stage_start[k]] if stage_const[k] else None
+                       for k in range(ns_nl))
+        sumapb_s = tuple(sumAPB_dev[stage_start[k]] if stage_const[k]
+                         else None for k in range(ns_nl))
+    if not need_kr:
+        Rinv_dev = K_dev = sumAPB_dev = None
 
     return StackedProblem(
         n=n, m=m, num_nodes=N, num_nonleaf=NL, num_leaf=LF,

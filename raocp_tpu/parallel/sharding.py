@@ -32,7 +32,9 @@ __all__ = ["make_mesh", "node_sharding", "shard_problem", "shard_variables"]
 
 AXIS = "nodes"
 
-# stacked-problem fields whose leading axis is a node count
+# stacked-problem fields whose leading axis is a node count (the dense
+# offline stacks A/B/P/Rinv/K/Abar/sumAPB are optional — None unless some
+# stage needs the fallback sweep paths or keep_dense was requested)
 _NODE_SHARDED_FIELDS = (
     "anc", "child_idx", "child_mask", "child_rank", "nz_mask",
     "A", "B",
@@ -78,6 +80,8 @@ def shard_problem(sp: StackedProblem, mesh: Mesh) -> StackedProblem:
     updates = {}
     for name in _NODE_SHARDED_FIELDS:
         arr = getattr(sp, name)
+        if arr is None:                 # optional dense offline stacks
+            continue
         updates[name] = jax.device_put(arr, node_sharding(mesh, arr.ndim))
     for name in _MODAL_FIELDS:
         mm = getattr(sp, name)

@@ -34,7 +34,7 @@ def main() -> None:
         stopping_time=10)
     solver = Solver(problem, dtype=jnp.float32, offline="device")
     sp = solver.stacked
-    jax.block_until_ready(sp.P)
+    jax.block_until_ready(sp.Pi)
     build_s = time.perf_counter() - t0
 
     lam, _ = _power_iteration(sp)

@@ -26,7 +26,10 @@ def spec_and_sp(request):
             num_states=6, num_inputs=3, num_modes=3, num_stages=5,
             stopping_time=3),
     }[request.param]()[0]
-    return problem, build_stacked(problem)
+    # keep_dense: these tests cross-check the dense offline stacks against
+    # per-node oracles; the default build drops the ones the solve never
+    # reads (see test_dense_stacks_elided_when_unused)
+    return problem, build_stacked(problem, keep_dense=True)
 
 
 def test_riccati_matches_oracle(spec_and_sp):
@@ -150,8 +153,8 @@ def test_device_offline_matches_host():
                        random_network_problem(num_states=5, num_inputs=2,
                                               num_modes=3, num_stages=4,
                                               stopping_time=4)]:
-        host = build_stacked(problem, offline="host")
-        dev = build_stacked(problem, offline="device")
+        host = build_stacked(problem, offline="host", keep_dense=True)
+        dev = build_stacked(problem, offline="device", keep_dense=True)
         for name in ("A", "B", "P", "Rinv", "K", "Abar", "sumAPB"):
             np.testing.assert_allclose(
                 np.asarray(getattr(dev, name)), np.asarray(getattr(host, name)),
@@ -167,3 +170,60 @@ def test_device_offline_solver_parity():
     res = Solver(problem, offline="device").solve(x0, max_iters=2000, tol=1e-3)
     assert res.status == 0
     assert res.num_iters == 937
+
+
+def test_dense_stacks_elided_when_unused():
+    """Default builds materialise only the dense stacks the solve loop
+    reads: none on a fully stage-constant tree (the sweeps use the
+    per-stage tables), K/Rinv/sumAPB on trees with ragged stages, and
+    A/B/P/Abar never — they are dead HBM at scale (~3.5 GB at 1e5 nodes /
+    50 states f32)."""
+    # fully branching => fully stage-constant => no dense stacks at all
+    fully, _ = random_network_problem(num_states=5, num_inputs=2,
+                                      num_modes=3, num_stages=4,
+                                      stopping_time=4)
+    for offline in ("host", "device"):
+        sp = build_stacked(fully, offline=offline)
+        for name in ("A", "B", "P", "Rinv", "K", "Abar", "sumAPB"):
+            assert getattr(sp, name) is None, (offline, name)
+        assert all(t is not None for t in sp.k_s)
+
+    # ragged (post-stopping chains) => fallback sweeps need K/Rinv/sumAPB
+    ragged, _ = demo_problem()
+    for offline in ("host", "device"):
+        sp = build_stacked(ragged, offline=offline)
+        for name in ("A", "B", "P", "Abar"):
+            assert getattr(sp, name) is None, (offline, name)
+        for name in ("Rinv", "K", "sumAPB"):
+            assert getattr(sp, name) is not None, (offline, name)
+
+
+def test_elided_build_solves_to_parity():
+    """The stage-table-only build (no dense stacks) must solve the fully
+    stage-constant family to the same iterates as keep_dense=True."""
+    import jax
+
+    from raocp_tpu.solver import Solver, cp_iteration
+    from raocp_tpu.ops.operator import ell, ell_t
+
+    problem, x0 = random_network_problem(num_states=5, num_inputs=2,
+                                         num_modes=3, num_stages=4,
+                                         stopping_time=4)
+    import jax.numpy as jnp
+    sp_lean = build_stacked(problem)
+    sp_full = build_stacked(problem, keep_dense=True)
+    x0j = jnp.asarray(np.asarray(x0), sp_lean.dtype)
+    z = sp_lean.zero_primal()
+    z = z._replace(x=z.x.at[0].set(x0j))
+    eta = sp_lean.zero_dual()
+    alpha = 0.2
+    out_lean = cp_iteration(sp_lean, z, eta, ell(sp_lean, z),
+                            ell_t(sp_lean, eta), alpha, alpha, x0j)
+    out_full = cp_iteration(sp_full, z, eta, ell(sp_full, z),
+                            ell_t(sp_full, eta), alpha, alpha, x0j)
+    for a, b in zip(jax.tree_util.tree_leaves(out_lean),
+                    jax.tree_util.tree_leaves(out_full)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-13)
+
+    res = Solver(problem).solve(x0, max_iters=5000, tol=1e-3)
+    assert res.converged
