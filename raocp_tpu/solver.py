@@ -352,14 +352,29 @@ def _run_cp(sp: StackedProblem, z0, eta0, x0, alpha1, alpha2, tol,
 
 
 class Solver:
-    """Builds the stacked problem + offline factorisations, then solves."""
+    """Builds the stacked problem + offline factorisations, then solves.
+
+    :param mesh: optional ``jax.sharding.Mesh`` (1-D, from
+        :func:`raocp_tpu.parallel.make_mesh`). When given, the stacked
+        problem and every iterate are sharded along the node axis over the
+        mesh and the whole CP loop runs SPMD — GSPMD inserts the
+        frontier-gather and residual-reduction collectives. ``pad_multiple``
+        defaults to the device count so the node spaces split evenly.
+    """
 
     def __init__(self, problem_spec: RAOCP, dtype=None,
-                 pad_multiple: int = 1, offline: str = "host"):
+                 pad_multiple: Optional[int] = None, offline: str = "host",
+                 mesh=None):
         self.__spec = problem_spec
+        self.__mesh = mesh
+        if pad_multiple is None:
+            pad_multiple = mesh.devices.size if mesh is not None else 1
         self.__stacked = build_stacked(problem_spec, dtype=dtype,
                                        pad_multiple=pad_multiple,
                                        offline=offline)
+        if mesh is not None:
+            from raocp_tpu.parallel.sharding import shard_problem
+            self.__stacked = shard_problem(self.__stacked, mesh)
         self.__result: Optional[SolverResult] = None
         self.__lambda_max: Optional[float] = None
 
@@ -467,6 +482,12 @@ class Solver:
                 lambda v: jnp.asarray(v, sp.dtype), Primal(*z0))
             eta0 = jax.tree_util.tree_map(
                 lambda v: jnp.asarray(v, sp.dtype), Dual(*eta0))
+        if self.__mesh is not None:
+            # place the iterates on the mesh explicitly so the loop program
+            # starts node-sharded (instead of jit choosing a layout)
+            from raocp_tpu.parallel.sharding import shard_variables
+            z0 = shard_variables(z0, self.__mesh)
+            eta0 = shard_variables(eta0, self.__mesh)
         import contextlib
         profiler_cm = (jax.profiler.trace(profile_dir) if profile_dir
                        else contextlib.nullcontext())

@@ -170,3 +170,72 @@ def test_sharded_step_matches_with_wasserstein():
     for a, b in zip(jax.tree_util.tree_leaves(out),
                     jax.tree_util.tree_leaves(ref)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-10)
+
+
+def test_sharded_full_solve_reference_parity():
+    """THE multi-device gate: Solver.solve — the entire _run_cp while_loop
+    (power iteration, residual checks, history writes) — on the 8-device
+    mesh must reproduce the reference's 937-iteration convergence and the
+    single-device iterates to near machine precision. A GSPMD miscompile
+    or a collective regression anywhere in the loop breaks this."""
+    from raocp_tpu.solver import Solver
+
+    problem, x0 = demo_problem()
+    mesh = make_mesh(num_devices=8)
+    sharded = Solver(problem, mesh=mesh)
+    res = sharded.solve(x0, max_iters=2000, tol=1e-3)
+    assert res.converged and res.num_iters == 937
+    np.testing.assert_allclose(
+        res.xi, [9.9508e-4, 9.4106e-4, 9.5599e-4], rtol=1e-3)
+
+    single = Solver(problem, pad_multiple=8).solve(
+        x0, max_iters=2000, tol=1e-3)
+    for a, b in zip(jax.tree_util.tree_leaves(res.primal),
+                    jax.tree_util.tree_leaves(single.primal)):
+        np.testing.assert_allclose(a, b, atol=1e-12)
+    for a, b in zip(jax.tree_util.tree_leaves(res.dual),
+                    jax.tree_util.tree_leaves(single.dual)):
+        np.testing.assert_allclose(a, b, atol=1e-12)
+    np.testing.assert_allclose(res.xi_history, single.xi_history,
+                               atol=1e-12)
+
+
+def test_sharded_production_loop_config():
+    """The production configuration (check_every=25, unroll=25 — the
+    statically placed residual check) under the mesh: converges past the
+    first check after iteration 937 and matches the single-device run."""
+    from raocp_tpu.solver import Solver
+
+    problem, x0 = demo_problem()
+    mesh = make_mesh(num_devices=8)
+    res = Solver(problem, mesh=mesh).solve(
+        x0, max_iters=2000, tol=1e-3, check_every=25, unroll=25)
+    single = Solver(problem, pad_multiple=8).solve(
+        x0, max_iters=2000, tol=1e-3, check_every=25, unroll=25)
+    # the residual hovers around 1e-3 just past 937, so the strided run
+    # converges at a later multiple of 25 — what matters here is that the
+    # sharded loop makes the SAME stopping decisions as the single-device
+    # one
+    assert res.converged and res.num_iters % 25 == 0
+    assert res.num_iters == single.num_iters
+    assert float(res.xi.max()) <= 1e-3
+    for a, b in zip(jax.tree_util.tree_leaves(res.primal),
+                    jax.tree_util.tree_leaves(single.primal)):
+        np.testing.assert_allclose(a, b, atol=1e-12)
+
+
+def test_sharded_relax_adaptive():
+    """Over-relaxation + adaptive step balancing (extra carry arithmetic,
+    rebalance conds) under the mesh match the single-device run."""
+    from raocp_tpu.solver import Solver
+
+    problem, x0 = demo_problem()
+    mesh = make_mesh(num_devices=8)
+    res = Solver(problem, mesh=mesh).solve(
+        x0, max_iters=2000, tol=1e-3, relax=1.5, adaptive=True)
+    single = Solver(problem, pad_multiple=8).solve(
+        x0, max_iters=2000, tol=1e-3, relax=1.5, adaptive=True)
+    assert res.converged and res.num_iters == single.num_iters
+    for a, b in zip(jax.tree_util.tree_leaves(res.primal),
+                    jax.tree_util.tree_leaves(single.primal)):
+        np.testing.assert_allclose(a, b, atol=1e-12)
