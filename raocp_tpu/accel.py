@@ -19,8 +19,32 @@ Anderson acceleration works as follows:
   w_{k+1} = T(w_k) — which guarantees the safeguarded iteration inherits
   the convergence of plain CP.
 
+TPU-first layout (round 3): everything is carried as PYTREES — an earlier
+design flat-packed (z, eta) with ``ravel_pytree`` before every T-map call,
+which re-tiles the whole iterate each evaluation (the same (8, 128)
+relayout tax whose removal bought the plain loop 26%). Two structural
+consequences:
+
+* **Extended vectors.** Every point is carried as W = (z, eta, Lz, L'eta).
+  Because L and L' are linear, the image components of ANY affine
+  combination of consistent extended vectors are themselves consistent
+  images — so Anderson mixing, Broyden directions, line-search candidates
+  and fallbacks all produce points whose operator images come for free,
+  and one T evaluation costs exactly the plain step's TWO operator applies
+  (the flat design paid five: fresh L z, L'eta, plus the step's three).
+* **Circular histories.** The difference histories are pytrees with a
+  leading ``[memory]`` axis written at slot ``k % memory`` (inner products
+  and the Anderson normal equations are order-independent; so is the
+  limited-memory Broyden SUM form below). A ``jnp.roll`` push would
+  rewrite the entire O(memory x dim) buffer every iteration — at 1e5
+  nodes that is hundreds of MB of pure relayout traffic per step.
+
 Everything (histories, the m x m normal equations, the candidate and
 safeguard evaluations) stays on device inside one ``lax.while_loop``.
+``check_every=k`` evaluates the xi stopping residuals (one extra operator
+apply) only every k-th accepted iteration — the safeguards themselves run
+on the fixed-point residual norm, which is free — matching the plain
+loop's production stride semantics.
 
 The reference repo only sketches this direction (playground/l-bfgs.py is a
 standalone L-BFGS scratchpad; BASELINE.json lists "SuperMann/L-BFGS
@@ -28,122 +52,195 @@ accelerated iterations" as the target feature) — there is no accelerated
 solver in the reference library itself.
 """
 
-from functools import partial
+from functools import partial, reduce
 
 import jax
 import jax.numpy as jnp
-from jax.flatten_util import ravel_pytree
 
 from raocp_tpu.core.stacked import StackedProblem
 from raocp_tpu.ops.operator import ell, ell_t
-from raocp_tpu.solver import cp_iteration, \
+from raocp_tpu.core.variables import tree_dot
+from raocp_tpu.solver import _cp_residuals, _cp_step, \
     _with_matmul_precision as _precision
 
 __all__ = ["run_cp_anderson", "run_cp_supermann"]
 
 
-def _t_map(sp, unravel, w_flat, alpha, x0):
-    """One CP step as a fixed-point map on the flattened (z, eta) vector.
-    Returns (T(w), xi_errors)."""
-    z, eta = unravel(w_flat)
-    Lz = ell(sp, z)
-    LtEta = ell_t(sp, eta)
-    z1, eta1, _, _, err, _ = cp_iteration(sp, z, eta, Lz, LtEta,
-                                          alpha, alpha, x0)
-    w1, _ = ravel_pytree((z1, eta1))
-    return w1, err
+# -- extended-vector + pytree-history primitives -----------------------------
+
+def _t_ext(sp, W, alpha, x0):
+    """One CP step on an extended point W = (z, eta, Lz, L'eta): returns
+    T(W) extended. Two operator applies (ell of z+, ell_t of eta+) — the
+    images of the INPUT ride in the carry."""
+    z, eta, Lz, Lt = W
+    return _cp_step(sp, z, eta, Lz, Lt, alpha, alpha, x0)
 
 
-@partial(jax.jit, static_argnames=("max_iters", "memory"))
+def _true(W):
+    """The (z, eta) components — the actual joint vector the fixed-point
+    theory lives on; norms/inner products ignore the carried images."""
+    return (W[0], W[1])
+
+
+def _norm(W_true):
+    return jnp.sqrt(tree_dot(W_true, W_true))
+
+
+_tmap = jax.tree_util.tree_map
+
+
+def _add(a, b):
+    return _tmap(jnp.add, a, b)
+
+
+def _sub(a, b):
+    return _tmap(jnp.subtract, a, b)
+
+
+def _sum_leaves(tree):
+    return reduce(jnp.add, jax.tree_util.tree_leaves(tree))
+
+
+def _h_zeros(template, memory):
+    """History buffer: the template pytree with a leading [memory] axis."""
+    return _tmap(lambda l: jnp.zeros((memory,) + l.shape, l.dtype), template)
+
+
+def _h_set(hist, slot, row):
+    """Write one history row at (dynamic) circular slot."""
+    return _tmap(lambda h, r: h.at[slot].set(r), hist, row)
+
+
+def _h_dot(hist_true, vec_true):
+    """[memory] vector of <row_m, v> inner products (true components)."""
+    return _sum_leaves(_tmap(
+        lambda h, v: jnp.einsum("m...,...->m", h, v), hist_true, vec_true))
+
+
+def _h_gram(hist_true):
+    """[memory, memory] Gram matrix of the history rows (true components)."""
+    return _sum_leaves(_tmap(
+        lambda h: jnp.einsum("m...,n...->mn", h, h), hist_true))
+
+
+def _h_combo(hist, gamma):
+    """sum_m gamma[m] * row_m as a row-shaped pytree (extended: the combo
+    runs over images too, keeping the result a consistent extended point).
+    Invalid rows are excluded by zeroing their gamma entries — masking in
+    the [memory] space instead of touching the O(memory x dim) buffers."""
+    return _tmap(lambda h: jnp.einsum("m...,m->...", h, gamma), hist)
+
+
+def _residual_row(sp, W, T, alpha):
+    """The xi/delta stopping residuals of the step W -> T(W) (reference
+    solver.py:63-95 formulas; one extra operator apply for L' of xi_2)."""
+    z, eta, Lz, Lt = W
+    zn, en, Lzn, Ltn = T
+    return _cp_residuals(sp, z, zn, eta, en, Lz, Lzn, Lt, Ltn, alpha, alpha)
+
+
+@partial(jax.jit, static_argnames=("max_iters", "memory", "check_every"))
 @_precision
 def run_cp_anderson(sp: StackedProblem, z0, eta0, x0, alpha, tol,
                     max_iters: int, memory: int = 5, theta: float = 0.9,
-                    reg: float = 1e-10):
+                    reg: float = 1e-10, check_every: int = 1):
     """Safeguarded Anderson-accelerated CP. Returns
-    (z, eta, iters, t_evals, err, hist)."""
-    w0, unravel = ravel_pytree((z0, eta0))
-    dim = w0.shape[0]
+    (z, eta, iters, t_evals, err, hist) with hist rows
+    [xi_0, xi_1, xi_2, delta_0, delta_1, delta_2] (NaN between strided
+    checks)."""
     dt = sp.dtype
+    W0 = (z0, eta0, ell(sp, z0), ell_t(sp, eta0))
+    T0 = _t_ext(sp, W0, alpha, x0)
+    R0 = _sub(T0, W0)                      # r = T(w) - w, extended
+    err0, derr0 = _residual_row(sp, W0, T0, alpha)
 
-    t1, err0 = _t_map(sp, unravel, w0, alpha, x0)
-    r0 = t1 - w0
+    dW = _h_zeros(W0, memory)
+    dR = _h_zeros(W0, memory)
+    hist = (jnp.zeros((max_iters + 1, 6), dt) if check_every == 1
+            else jnp.full((max_iters + 1, 6), jnp.nan, dt))
 
-    dW = jnp.zeros((memory, dim), dt)
-    dR = jnp.zeros((memory, dim), dt)
-
-    # carry: w, r (= T(w)-w), err (xi at w), histories, counters
-    #   k: accepted iterations; evals: T evaluations; hc: valid history rows
-    state = (w0, r0, err0, dW, dR, jnp.asarray(0, jnp.int32),
-             jnp.asarray(1, jnp.int32), jnp.asarray(0, jnp.int32),
-             jnp.zeros((max_iters + 1, 3), dt))
+    # carry: W, R, err/derr (xi at last check), histories, counters
+    #   k: accepted iterations; evals: T evaluations; pushes: rows written
+    state = (W0, R0, err0, derr0, dW, dR, jnp.asarray(0, jnp.int32),
+             jnp.asarray(1, jnp.int32), jnp.asarray(0, jnp.int32), hist)
 
     def cond(state):
-        _, _, err, _, _, k, _, _, _ = state
+        err, k = state[2], state[6]
         return jnp.logical_or(k == 0,
                               jnp.logical_and(jnp.max(err) > tol,
                                               k < max_iters + 1))
 
     def body(state):
-        w, r, err, dW, dR, k, evals, hc, hist = state
-        hist = hist.at[k].set(err)
+        W, R, err, derr, dW, dR, k, evals, pushes, hist = state
+        valid = (jnp.arange(memory) < pushes).astype(dt)
 
-        # Anderson candidate from the valid history rows
-        valid = (jnp.arange(memory) < hc)[:, None]
-        dRv = dR * valid
-        dWv = dW * valid
-        G = dRv @ dRv.T + reg * jnp.eye(memory, dtype=dt)
-        gamma = jnp.linalg.solve(G, dRv @ r)
-        w_cand = w + r - (dWv + dRv).T @ gamma
+        # Anderson candidate from the valid history rows; the normal
+        # equations and masking live entirely in the [memory] space
+        G = _h_gram(_true(dR)) * (valid[:, None] * valid[None, :]) \
+            + reg * jnp.eye(memory, dtype=dt)
+        b = _h_dot(_true(dR), _true(R)) * valid
+        gamma = jnp.linalg.solve(G, b) * valid
+        W_cand = _sub(_add(W, R), _add(_h_combo(dW, gamma),
+                                       _h_combo(dR, gamma)))
 
-        t_cand, err_cand = _t_map(sp, unravel, w_cand, alpha, x0)
-        r_cand = t_cand - w_cand
+        T_cand = _t_ext(sp, W_cand, alpha, x0)
+        R_cand = _sub(T_cand, W_cand)
         accept = jnp.logical_and(
-            hc > 0,
-            jnp.linalg.norm(r_cand) <= theta * jnp.linalg.norm(r))
+            pushes > 0, _norm(_true(R_cand)) <= theta * _norm(_true(R)))
 
         def accepted(_):
-            return w_cand, r_cand, err_cand, evals + 1
+            return W_cand, R_cand, evals + 1
 
         def fallback(_):
-            # plain CP step w+ = T(w) = w + r (already evaluated); one more
-            # T eval to refresh the residual at the new point
-            w_plain = w + r
-            t_plain, err_plain = _t_map(sp, unravel, w_plain, alpha, x0)
-            return w_plain, t_plain - w_plain, err_plain, evals + 2
+            # plain CP step w+ = T(w) = w + r (extended, already
+            # evaluated); one more T eval refreshes the residual there
+            W_plain = _add(W, R)
+            T_plain = _t_ext(sp, W_plain, alpha, x0)
+            return W_plain, _sub(T_plain, W_plain), evals + 2
 
-        w_new, r_new, err_new, evals = jax.lax.cond(
-            accept, accepted, fallback, None)
+        W_new, R_new, evals = jax.lax.cond(accept, accepted, fallback, None)
 
-        # shift histories
-        dW = jnp.roll(dW, 1, axis=0).at[0].set(w_new - w)
-        dR = jnp.roll(dR, 1, axis=0).at[0].set(r_new - r)
-        hc = jnp.minimum(hc + 1, memory)
-        return (w_new, r_new, err_new, dW, dR, k + 1, evals, hc, hist)
+        # xi stopping residuals at the check stride (T(W_new) = W_new + R_new
+        # is already known on both paths — the check costs ONE extra apply)
+        if check_every == 1:
+            err, derr = _residual_row(sp, W_new, _add(W_new, R_new), alpha)
+            hist = hist.at[k].set(jnp.concatenate([err, derr]))
+        else:
+            checked = (k + 1) % check_every == 0
+            err, derr = jax.lax.cond(
+                checked,
+                lambda: _residual_row(sp, W_new, _add(W_new, R_new), alpha),
+                lambda: (err, derr))
+            hist = hist.at[k].set(jnp.where(
+                checked, jnp.concatenate([err, derr]), jnp.nan))
 
-    w, r, err, k, evals, hist = _strip(jax.lax.while_loop(cond, body, state))
-    z, eta = unravel(w)
-    return z, eta, k, evals, err, hist
+        slot = jnp.mod(pushes, memory)
+        dW = _h_set(dW, slot, _sub(W_new, W))
+        dR = _h_set(dR, slot, _sub(R_new, R))
+        return (W_new, R_new, err, derr, dW, dR, k + 1, evals, pushes + 1,
+                hist)
+
+    out = jax.lax.while_loop(cond, body, state)
+    W, _, err, _, _, _, k, evals, _, hist = out
+    return W[0], W[1], k, evals, err, hist
 
 
-def _strip(state):
-    w, r, err, _, _, k, evals, _, hist = state
-    return w, r, err, k, evals, hist
-
-
-@partial(jax.jit, static_argnames=("max_iters", "memory", "ls_max"))
+@partial(jax.jit, static_argnames=("max_iters", "memory", "ls_max",
+                                   "check_every"))
 @_precision
 def run_cp_supermann(sp: StackedProblem, z0, eta0, x0, alpha, tol,
                      max_iters: int, memory: int = 10, ls_max: int = 1,
                      c0: float = 0.99, c1: float = 0.99, q_eps: float = 0.95,
-                     beta: float = 0.5):
+                     beta: float = 0.5, check_every: int = 1):
     """SuperMann-style globalised quasi-Newton acceleration of the CP
     fixed point with limited-memory (type-I) Broyden directions.
 
     Directions approximate the inverse Jacobian of the residual map
     R(w) = w - T(w) with rank-one Broyden updates
-    ``H+ = H + ((s - H y) y') / (y'y)``, kept in limited-memory product
-    form ``H = I + sum_i u_i y_i'`` (apply and push are O(memory x dim)
-    vector ops, all on device). Broyden — not L-BFGS — is the right
+    ``H+ = H + ((s - H y) y') / (y'y)``, kept in limited-memory SUM form
+    ``H = I + sum_i u_i y_i'`` (apply and push are O(memory x dim)
+    contractions, all on device, order-independent — so the histories are
+    circular buffers, not rolls). Broyden — not L-BFGS — is the right
     quasi-Newton family here: the Jacobian of a primal-dual fixed-point
     residual is nonsymmetric, and this is the direction family the
     SuperMann paper itself pairs with the scheme (Themelis & Patrinos
@@ -162,58 +259,63 @@ def run_cp_supermann(sp: StackedProblem, z0, eta0, x0, alpha, tol,
     deliberately: it is only Fejér-monotone in the CP preconditioner metric,
     not the Euclidean one used here; the K0/K1 + fallback subset is metric
     agnostic. Everything — histories, direction recursions, line search —
-    stays on device inside one ``lax.while_loop``.
+    stays on device inside one ``lax.while_loop``; points are extended
+    vectors (see module docstring) so every candidate evaluation costs the
+    plain step's two operator applies.
 
-    Returns (z, eta, iters, t_evals, err, hist).
+    Returns (z, eta, iters, t_evals, err, hist) with 6-column hist rows.
     """
-    w0, unravel = ravel_pytree((z0, eta0))
-    dim = w0.shape[0]
     dt = sp.dtype
+    W0 = (z0, eta0, ell(sp, z0), ell_t(sp, eta0))
+    T0 = _t_ext(sp, W0, alpha, x0)
+    R0 = _sub(W0, T0)                      # residual R(w) = w - T(w)
+    err0, derr0 = _residual_row(sp, W0, T0, alpha)
+    nr0 = _norm(_true(R0))
 
-    t0, err0 = _t_map(sp, unravel, w0, alpha, x0)
-    r0 = w0 - t0                       # residual R(w) = w - T(w)
-    nr0 = jnp.linalg.norm(r0)
+    U = _h_zeros(W0, memory)               # Broyden vectors u_i (extended)
+    Y = _h_zeros(W0, memory)               # y_i = r_{i+1} - r_i (extended)
+    valid0 = jnp.zeros((memory,), dt)      # 1.0 = row in use
+    hist = (jnp.zeros((max_iters + 1, 6), dt) if check_every == 1
+            else jnp.full((max_iters + 1, 6), jnp.nan, dt))
 
-    U = jnp.zeros((memory, dim), dt)   # Broyden vectors (row 0 oldest kept)
-    Y = jnp.zeros((memory, dim), dt)   # y_i = r_{i+1} - r_i
-    valid = jnp.zeros((memory,), dt)   # 1.0 = row in use
+    def _apply_h(U, Y, valid, V):
+        """H v = v + sum_i u_i (y_i . v): inner products on the true
+        components, combination over the extended rows."""
+        w = _h_dot(_true(Y), _true(V)) * valid
+        return _add(V, _h_combo(U, w))
 
-    def _apply_h(U, Y, valid, v):
-        """H v = v + sum_i u_i (y_i . v) over valid rows."""
-        return v + U.T @ ((Y @ v) * valid)
-
-    # carry: w, r, err, U, Y, valid, eta_safe, r_safe, eps, k, evals, hist
-    # (eta_safe gates K0; r_safe + summable eps gate K1)
-    state = (w0, r0, err0, U, Y, valid, nr0, nr0, nr0,
-             jnp.asarray(0, jnp.int32), jnp.asarray(1, jnp.int32),
-             jnp.zeros((max_iters + 1, 3), dt))
+    # carry: W, R, err/derr, U, Y, valid, eta_safe, r_safe, eps, slot,
+    # k, evals, hist   (eta_safe gates K0; r_safe + summable eps gate K1)
+    state = (W0, R0, err0, derr0, U, Y, valid0, nr0, nr0, nr0,
+             jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+             jnp.asarray(1, jnp.int32), hist)
 
     def cond(state):
-        err, k = state[2], state[9]
+        err, k = state[2], state[11]
         return jnp.logical_or(k == 0,
                               jnp.logical_and(jnp.max(err) > tol,
                                               k < max_iters + 1))
 
     def body(state):
-        (w, r, err, U, Y, valid, eta_safe, r_safe, eps, k, evals,
-         hist) = state
-        hist = hist.at[k].set(err)
-        norm_r = jnp.linalg.norm(r)
+        (W, R, err, derr, U, Y, valid, eta_safe, r_safe, eps, slot, k,
+         evals, hist) = state
+        norm_r = _norm(_true(R))
 
-        d = -_apply_h(U, Y, valid, r)
+        d = _tmap(jnp.negative, _apply_h(U, Y, valid, R))
 
         def blind(_):
             # K0: accept w + d without a test; eta_safe tightens
-            w_n = w + d
-            t_n, err_n = _t_map(sp, unravel, w_n, alpha, x0)
-            return (w_n, w_n - t_n, err_n, norm_r, r_safe,
+            W_n = _add(W, d)
+            T_n = _t_ext(sp, W_n, alpha, x0)
+            return (W_n, _sub(W_n, T_n), norm_r, r_safe,
                     jnp.asarray(1, jnp.int32))
 
         def plain_step(j):
-            # plain CP step w+ = T(w) = w - r; refresh the residual
-            w_p = w - r
-            t_p, err_p = _t_map(sp, unravel, w_p, alpha, x0)
-            return w_p, w_p - t_p, err_p, eta_safe, r_safe, j + 1
+            # plain CP step w+ = T(w) = w - r (extended, free); refresh
+            # the residual there with one T eval
+            W_p = _sub(W, R)
+            T_p = _t_ext(sp, W_p, alpha, x0)
+            return W_p, _sub(W_p, T_p), eta_safe, r_safe, j + 1
 
         def line_search(_):
             # K1 is admissible only under the (loop-invariant) safeguard
@@ -222,27 +324,27 @@ def run_cp_supermann(sp: StackedProblem, z0, eta0, x0, alpha, tol,
             # ls_max T-map evaluations
             def attempt(_):
                 # backtrack tau until |R(w + tau d)| <= c1 |R w|
-                cand0 = (jnp.ones((), dt), w, r, err,
+                cand0 = (jnp.ones((), dt), W, R,
                          jnp.asarray(False), jnp.asarray(0, jnp.int32))
 
                 def ls_cond(c):
-                    tau, _, _, _, ok, j = c
+                    tau, _, _, ok, j = c
                     return jnp.logical_and(jnp.logical_not(ok), j < ls_max)
 
                 def ls_body(c):
-                    tau, _, _, _, _, j = c
-                    w_c = w + tau * d
-                    t_c, err_c = _t_map(sp, unravel, w_c, alpha, x0)
-                    r_c = w_c - t_c
-                    ok = jnp.linalg.norm(r_c) <= c1 * norm_r
-                    return (tau * beta, w_c, r_c, err_c, ok, j + 1)
+                    tau, _, _, _, j = c
+                    W_c = _add(W, _tmap(lambda v: tau * v, d))
+                    T_c = _t_ext(sp, W_c, alpha, x0)
+                    R_c = _sub(W_c, T_c)
+                    ok = _norm(_true(R_c)) <= c1 * norm_r
+                    return (tau * beta, W_c, R_c, ok, j + 1)
 
-                tau, w_c, r_c, err_c, ok, j = jax.lax.while_loop(
+                tau, W_c, R_c, ok, j = jax.lax.while_loop(
                     ls_cond, ls_body, cand0)
 
                 def accepted(_):
-                    return (w_c, r_c, err_c, eta_safe,
-                            jnp.linalg.norm(r_c) + eps, j)
+                    return (W_c, R_c, eta_safe,
+                            _norm(_true(R_c)) + eps, j)
 
                 return jax.lax.cond(ok, accepted,
                                     lambda _: plain_step(j), None)
@@ -251,24 +353,38 @@ def run_cp_supermann(sp: StackedProblem, z0, eta0, x0, alpha, tol,
                 norm_r <= r_safe, attempt,
                 lambda _: plain_step(jnp.asarray(0, jnp.int32)), None)
 
-        w_n, r_n, err_n, eta_n, rsafe_n, ev = jax.lax.cond(
+        W_n, R_n, eta_n, rsafe_n, ev = jax.lax.cond(
             norm_r <= c0 * eta_safe, blind, line_search, None)
 
         # Broyden push: u = (s - H y) / (y.y); skip degenerate pairs
-        s = w_n - w
-        y = r_n - r
-        yy = jnp.dot(y, y)
+        s = _sub(W_n, W)
+        y = _sub(R_n, R)
+        yy = tree_dot(_true(y), _true(y))
         good = yy > 1e-30
-        u = (s - _apply_h(U, Y, valid, y)) / jnp.where(good, yy, 1.0)
-        U = jnp.roll(U, 1, axis=0).at[0].set(jnp.where(good, u, 0.0))
-        Y = jnp.roll(Y, 1, axis=0).at[0].set(y)
-        valid = jnp.roll(valid, 1).at[0].set(jnp.where(good, 1.0, 0.0))
+        Hy = _apply_h(U, Y, valid, y)
+        u = _tmap(lambda si, hi: (si - hi) / jnp.where(good, yy, 1.0), s, Hy)
+        gz = jnp.where(good, 1.0, 0.0).astype(dt)
+        U = _h_set(U, slot, _tmap(lambda ui: ui * gz, u))
+        Y = _h_set(Y, slot, y)
+        valid = valid.at[slot].set(gz)
+        slot = jnp.mod(slot + 1, memory)
 
-        return (w_n, r_n, err_n, U, Y, valid, eta_n, rsafe_n,
-                eps * q_eps, k + 1, evals + ev, hist)
+        # xi stopping residuals at the check stride (T(W_n) = W_n - R_n)
+        if check_every == 1:
+            err, derr = _residual_row(sp, W_n, _sub(W_n, R_n), alpha)
+            hist = hist.at[k].set(jnp.concatenate([err, derr]))
+        else:
+            checked = (k + 1) % check_every == 0
+            err, derr = jax.lax.cond(
+                checked,
+                lambda: _residual_row(sp, W_n, _sub(W_n, R_n), alpha),
+                lambda: (err, derr))
+            hist = hist.at[k].set(jnp.where(
+                checked, jnp.concatenate([err, derr]), jnp.nan))
+
+        return (W_n, R_n, err, derr, U, Y, valid, eta_n, rsafe_n,
+                eps * q_eps, slot, k + 1, evals + ev, hist)
 
     out = jax.lax.while_loop(cond, body, state)
-    w, r, err, k, evals, hist = (out[0], out[1], out[2], out[9], out[10],
-                                 out[11])
-    z, eta = unravel(w)
-    return z, eta, k, evals, err, hist
+    W, err, k, evals, hist = out[0], out[2], out[11], out[12], out[13]
+    return W[0], W[1], k, evals, err, hist

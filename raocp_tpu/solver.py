@@ -433,7 +433,9 @@ class Solver:
             stopping test exactly; larger strides (e.g. 25) skip the
             residual-only operator apply between checks — ~1/3 less work
             per iteration, at the price of overshooting convergence by up
-            to k-1 iterations. Plain CP only (ignored under ``accel``).
+            to k-1 iterations. Also honoured by the ``accel`` loops (their
+            safeguards run on the free fixed-point residual norm; only
+            the xi stopping check is strided).
         :param unroll: CP steps per device-loop trip (must divide
             ``check_every``); amortises loop bookkeeping. Plain CP only.
         :param step_ratio: primal/dual step balancing gamma: runs with
@@ -507,20 +509,16 @@ class Solver:
                     float(relax))
             elif accel == "anderson":
                 from raocp_tpu.accel import run_cp_anderson
-                z, eta, iters, _evals, err, hist3 = run_cp_anderson(
+                z, eta, iters, _evals, err, hist = run_cp_anderson(
                     sp, z0, eta0, x0, jnp.asarray(alpha, sp.dtype),
                     jnp.asarray(tol, sp.dtype), max_iters,
-                    memory=accel_memory)
-                hist = jnp.concatenate(
-                    [hist3, jnp.zeros_like(hist3)], axis=1)
+                    memory=accel_memory, check_every=check_every)
             elif accel in ("supermann", "broyden", "lbfgs"):
                 from raocp_tpu.accel import run_cp_supermann
-                z, eta, iters, _evals, err, hist3 = run_cp_supermann(
+                z, eta, iters, _evals, err, hist = run_cp_supermann(
                     sp, z0, eta0, x0, jnp.asarray(alpha, sp.dtype),
                     jnp.asarray(tol, sp.dtype), max_iters,
-                    memory=accel_memory)
-                hist = jnp.concatenate(
-                    [hist3, jnp.zeros_like(hist3)], axis=1)
+                    memory=accel_memory, check_every=check_every)
             else:
                 raise ValueError(f"unknown accel '{accel}'")
             jax.block_until_ready(err)

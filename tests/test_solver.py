@@ -163,6 +163,28 @@ def test_supermann_acceleration_converges_faster():
     assert v["dynamics"] < 1e-8 and v["kernel"] < 1e-8
 
 
+def test_accel_strided_checks():
+    """check_every under acceleration: the safeguards run on the free
+    fixed-point residual every iteration, only the xi stopping test is
+    strided — so the loop stops at a multiple of the stride, converged,
+    with NaN history gaps between checks."""
+    from raocp_tpu.models import demo_problem
+
+    problem, x0 = demo_problem()
+    solver = Solver(problem)
+    for accel in ("anderson", "supermann"):
+        res = solver.solve(x0, max_iters=2000, tol=1e-3, accel=accel,
+                           check_every=5)
+        assert res.status == 0, accel
+        assert res.num_iters % 5 == 0, accel
+        assert float(res.xi.max()) <= 1e-3, accel
+        # rows between checks are NaN gaps; checked rows are finite
+        assert np.isnan(res.xi_history[0]).all(), accel
+        assert np.isfinite(res.xi_history[4::5]).all(), accel
+        v = solver.validate(res)
+        assert v["dynamics"] < 1e-8 and v["kernel"] < 1e-8
+
+
 def test_step_ratio_balancing():
     """alpha1 = gamma*alpha, alpha2 = alpha/gamma keeps the CP convergence
     product alpha1*alpha2 unchanged: any gamma > 0 converges; gamma != 1
