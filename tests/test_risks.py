@@ -627,3 +627,78 @@ def test_wasserstein_solve_end_to_end():
     assert checks["kernel"] < 1e-8
     v0 = risk_value(problem, res.primal.x, res.primal.u)
     assert res.objective == pytest.approx(v0, abs=2e-2, rel=1e-2)
+
+
+def test_wasserstein_wide_branching_cliff():
+    """The documented branching cliff (docs/guide.md "Wasserstein memory"):
+    with c children the transport plan adds c^2 auxiliaries, so the risk
+    rows are Y = 1 + c^2 + 2c and the kernel-projector stack is
+    [NL, D, D] with D = Y + 2c — QUADRATIC in c per dimension, c^4 per
+    node in memory. At c = 6 (the first clearly-wide case) this pins the
+    layout arithmetic, proves the solve still converges and is feasible,
+    and cross-checks the discrete-metric equivalence with TotalVariation
+    end-to-end at full width."""
+    from raocp_tpu.core.elements import Wasserstein
+    from raocp_tpu.core.spec import RAOCP
+    from raocp_tpu.core.elements import (Dynamics, Leaf, Nonleaf, Quadratic)
+    from raocp_tpu.core.constraints.sets import Rectangle
+    from raocp_tpu.core.tree import MarkovChainScenarioTreeFactory
+    from raocp_tpu.solver import Solver
+
+    c = 6
+    rng = np.random.default_rng(3)
+    p = rng.random((c, c)) + 0.2
+    p /= p.sum(axis=1, keepdims=True)
+    v = np.full(c, 1.0 / c)
+    tree = MarkovChainScenarioTreeFactory(p, v, 2, 2).create()
+    assert tree.num_nodes == 1 + c + c * c        # 43: fully branched twice
+
+    nl, lf = Nonleaf(), Leaf()
+    n, m = 3, 2
+    dynamics, costs = [], []
+    for _ in range(c):
+        A = rng.standard_normal((n, n))
+        A *= 0.8 / max(abs(np.linalg.eigvals(A)))
+        dynamics.append(Dynamics(A, rng.standard_normal((n, m))))
+        costs.append(Quadratic(nl, np.eye(n), 0.1 * np.eye(m)))
+
+    def build(risk):
+        return (RAOCP(scenario_tree=tree)
+                .with_markovian_dynamics(dynamics)
+                .with_markovian_nonleaf_costs(costs)
+                .with_all_leaf_costs(Quadratic(lf, np.eye(n)))
+                .with_all_risks(risk)
+                .with_all_nonleaf_constraints(
+                    Rectangle(nl, -10 * np.ones(n + m), 10 * np.ones(n + m)))
+                .with_all_leaf_constraints(
+                    Rectangle(lf, -10 * np.ones(n), 10 * np.ones(n))))
+
+    r = 0.3
+    discrete = 1.0 - np.eye(c)
+    problem = build(Wasserstein(r, ground_cost=discrete))
+    solver = Solver(problem)
+    sp = solver.stacked
+
+    # the cliff arithmetic: Y risk rows and the [NL, D, D] projector stack
+    Y = 1 + c * c + 2 * c
+    D = Y + 2 * c
+    assert sp.Y == Y == 49
+    assert sp.Pi.shape[1:] == (D, D) == (61, 61)
+    proj_mb = sp.Pi.size * sp.Pi.dtype.itemsize / 1e6
+    assert proj_mb < 1.0                          # 7 nonleaf nodes: tiny
+
+    x0 = np.array([1.0, -0.5, 0.5])
+    res = solver.solve(x0, max_iters=60000, tol=1e-4)
+    assert res.converged
+    checks = solver.validate()
+    assert checks["dynamics"] < 1e-8 and checks["kernel"] < 1e-8
+
+    # discrete metric radius r == TotalVariation 2r, end-to-end at c = 6
+    tv = Solver(build(TotalVariation(2 * r))).solve(
+        x0, max_iters=60000, tol=1e-4)
+    assert tv.converged
+    # finite-tol CP iterates pin the objective much tighter than the
+    # (possibly non-unique) trajectory itself
+    np.testing.assert_allclose(np.asarray(res.primal.x),
+                               np.asarray(tv.primal.x), atol=5e-2)
+    assert res.objective == pytest.approx(tv.objective, abs=2e-3)
