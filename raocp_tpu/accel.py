@@ -59,7 +59,7 @@ import jax.numpy as jnp
 
 from raocp_tpu.core.stacked import StackedProblem
 from raocp_tpu.ops.operator import ell, ell_t
-from raocp_tpu.core.variables import tree_dot
+from raocp_tpu.core.variables import Dual, Primal, tree_dot
 from raocp_tpu.solver import _cp_residuals, _cp_step, \
     _with_matmul_precision as _precision
 
@@ -149,6 +149,7 @@ def run_cp_anderson(sp: StackedProblem, z0, eta0, x0, alpha, tol,
     [xi_0, xi_1, xi_2, delta_0, delta_1, delta_2] (NaN between strided
     checks)."""
     dt = sp.dtype
+    z0, eta0 = Primal(*z0), Dual(*eta0)
     W0 = (z0, eta0, ell(sp, z0), ell_t(sp, eta0))
     T0 = _t_ext(sp, W0, alpha, x0)
     R0 = _sub(T0, W0)                      # r = T(w) - w, extended
@@ -266,6 +267,7 @@ def run_cp_supermann(sp: StackedProblem, z0, eta0, x0, alpha, tol,
     Returns (z, eta, iters, t_evals, err, hist) with 6-column hist rows.
     """
     dt = sp.dtype
+    z0, eta0 = Primal(*z0), Dual(*eta0)
     W0 = (z0, eta0, ell(sp, z0), ell_t(sp, eta0))
     T0 = _t_ext(sp, W0, alpha, x0)
     R0 = _sub(W0, T0)                      # residual R(w) = w - T(w)
