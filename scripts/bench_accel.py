@@ -54,6 +54,8 @@ def main() -> None:
             best = min(best, time.perf_counter() - tic)
         iters = int(out[2])
         err = np.asarray(out[-2])       # _run_cp and accel: err before hist
+        if len(out) == 6:               # accel loops report T evaluations
+            extra["t_evals"] = int(out[3])
         rec = {
             "run": name,
             "iterations": iters,
