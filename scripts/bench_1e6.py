@@ -54,6 +54,8 @@ def main() -> None:
     z0 = sp.zero_primal(xp=np)
     z0.x[0] = np.asarray(x0, dtype=z0.x.dtype)
     eta0 = sp.zero_dual(xp=np)
+    z0 = jax.tree_util.tree_map(jnp.asarray, z0)    # device-resident
+    eta0 = jax.tree_util.tree_map(jnp.asarray, eta0)
 
     out = _run_cp(sp, z0, eta0, x0j, alpha, alpha, tol0, args.iters,
                   check_every=25)

@@ -14,7 +14,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-BENCH_ITERS = 100
+BENCH_ITERS = 1000   # long enough that per-call dispatch is noise
 
 
 def main() -> None:
@@ -44,6 +44,11 @@ def main() -> None:
     z0 = sp.zero_primal(xp=np)
     z0.x[0] = np.asarray(x0, dtype=z0.x.dtype)
     eta0 = sp.zero_dual(xp=np)
+    # device-resident inputs: a numpy iterate re-transfers ~130 MB through
+    # the tunnelled link per call (~8 ms/iteration at 100 iterations —
+    # measured to HALVE the apparent 1e5-node throughput)
+    z0 = jax.tree_util.tree_map(jnp.asarray, z0)
+    eta0 = jax.tree_util.tree_map(jnp.asarray, eta0)
 
     # unroll=1 here: at ~1e5 nodes the unrolled while-body HLO multiplies an
     # already-large program and compile time explodes; the per-trip
