@@ -303,7 +303,12 @@ def _run_cp(sp: StackedProblem, z0, eta0, x0, alpha1, alpha2, tol,
                 if adaptive:
                     a1, a2, phi = rebalance(a1, a2, phi, err)
                 hist = hist.at[k + i].set(row)
-            elif unroll != check_every:
+            elif i == unroll - 1:
+                # unroll divides check_every and k advances by unroll, so
+                # only a trip's LAST step can land on a check boundary —
+                # the other unroll-1 steps carry no cond and no history
+                # write (their rows keep the NaN init: strided histories
+                # plot as gaps instead of stale stair-steps)
                 checked = (k + i + 1) % check_every == 0
                 err, derr = jax.lax.cond(checked, fresh,
                                          lambda: (err, derr))
@@ -311,8 +316,6 @@ def _run_cp(sp: StackedProblem, z0, eta0, x0, alpha1, alpha2, tol,
                     a1, a2, phi = jax.tree_util.tree_map(
                         lambda new, old: jnp.where(checked, new, old),
                         rebalance(a1, a2, phi, err), (a1, a2, phi))
-                # NaN rows between checks so strided histories plot as gaps
-                # instead of stale stair-steps
                 row = jnp.where(checked, jnp.concatenate([err, derr]),
                                 jnp.nan)
                 hist = hist.at[k + i].set(row)

@@ -8,6 +8,7 @@ across trips. Used to decide where optimisation effort goes; not part of
 the headline bench.
 """
 
+import argparse
 import os
 import sys
 import time
@@ -41,6 +42,13 @@ def _time(fn, *args, iters=200):
 
 
 def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stages", type=int, default=8)
+    ap.add_argument("--states", type=int, default=50)
+    ap.add_argument("--inputs", type=int, default=20)
+    ap.add_argument("--iters", type=int, default=200)
+    args = ap.parse_args()
+
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_raocp_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
@@ -51,8 +59,8 @@ def main():
     from raocp_tpu.solver import Solver, cp_iteration
 
     problem, x0 = random_network_problem(
-        num_states=50, num_inputs=20, num_modes=3, num_stages=8,
-        stopping_time=8)
+        num_states=args.states, num_inputs=args.inputs, num_modes=3,
+        num_stages=args.stages, stopping_time=args.stages)
     solver = Solver(problem, dtype=jnp.float32, offline="device")
     sp = solver.stacked
 
@@ -65,21 +73,30 @@ def main():
     eta = ell(sp, z)
     alpha = jnp.asarray(0.01, sp.dtype)
 
-    t_noop = _time(lambda v: (v,), z.x)
-    t_ell = _time(lambda z: (ell(sp, z),), z)
-    t_ellt = _time(lambda e: (ell_t(sp, e),), eta)
-    t_dyn = _time(lambda x, u: project_dynamics(sp, x, u, x0j), z.x, z.u)
+    it = args.iters
+    t_noop = _time(lambda v: (v,), z.x, iters=it)
+    t_ell = _time(lambda z: (ell(sp, z),), z, iters=it)
+    t_ellt = _time(lambda e: (ell_t(sp, e),), eta, iters=it)
+    t_dyn = _time(lambda x, u: project_dynamics(sp, x, u, x0j), z.x, z.u,
+                  iters=it)
     t_ker = _time(lambda y, t, s: project_kernel(sp, y, t, s),
-                  z.y, z.tau, z.s)
-    t_pf = _time(lambda zz: (prox_f(sp, zz, alpha, x0j),), z)
-    t_gp = _time(lambda e: (g_conj_projections(sp, e),), eta)
-    t_norm = _time(lambda v: (jnp.max(jnp.abs(v)) * v,), z.x)
+                  z.y, z.tau, z.s, iters=it)
+    t_pf = _time(lambda zz: (prox_f(sp, zz, alpha, x0j),), z, iters=it)
+    t_gp = _time(lambda e: (g_conj_projections(sp, e),), eta, iters=it)
+    t_norm = _time(lambda v: (jnp.max(jnp.abs(v)) * v,), z.x, iters=it)
 
     def full(z, eta, Lz, Lt):
         return cp_iteration(sp, z, eta, Lz, Lt, alpha, alpha, x0j)[:4]
 
-    t_full = _time(full, z, eta, ell(sp, z), ell_t(sp, eta))
+    t_full = _time(full, z, eta, ell(sp, z), ell_t(sp, eta), iters=it)
 
+    def step_only(z, eta, Lz, Lt):
+        from raocp_tpu.solver import _cp_step
+        return _cp_step(sp, z, eta, Lz, Lt, alpha, alpha, x0j)
+
+    t_step = _time(step_only, z, eta, ell(sp, z), ell_t(sp, eta), iters=it)
+
+    print(f"nodes={sp.num_nodes} n={sp.n} m={sp.m}")
     print(f"noop (loop+dep)     {t_noop:8.1f} us")
     print(f"L apply             {t_ell:8.1f} us")
     print(f"L' apply            {t_ellt:8.1f} us")
@@ -88,6 +105,7 @@ def main():
     print(f"prox_f total        {t_pf:8.1f} us")
     print(f"g* projections      {t_gp:8.1f} us")
     print(f"max-norm            {t_norm:8.1f} us")
+    print(f"CP step (no resid)  {t_step:8.1f} us")
     print(f"FULL CP iteration   {t_full:8.1f} us")
     print(f"  (2L' + L + prox_f + g* = "
           f"{2 * t_ellt + t_ell + t_pf + t_gp:8.1f} us)")

@@ -7,6 +7,7 @@ Config: 50-state / 20-input network, 3-mode chain, 10 stages fully branched
 Prints one JSON line like bench.py.
 """
 
+import argparse
 import json
 import os
 import sys
@@ -18,6 +19,13 @@ BENCH_ITERS = 1000   # long enough that per-call dispatch is noise
 
 
 def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--unroll", type=int, default=5,
+                    help="CP steps per while-loop trip (must divide 25); "
+                         "moderate unroll amortises trip bookkeeping "
+                         "without the compile-time blowup of unroll=25 at "
+                         "this program size")
+    args = ap.parse_args()
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -50,17 +58,22 @@ def main() -> None:
     z0 = jax.tree_util.tree_map(jnp.asarray, z0)
     eta0 = jax.tree_util.tree_map(jnp.asarray, eta0)
 
-    # unroll=1 here: at ~1e5 nodes the unrolled while-body HLO multiplies an
-    # already-large program and compile time explodes; the per-trip
-    # bookkeeping it saves is negligible at ~4 ms/iter
+    # unroll=25 at ~1e5 nodes multiplies an already-large while-body HLO
+    # and compile time explodes; moderate unroll (default 5) amortises the
+    # trip bookkeeping at 5x the body size — dead check slots are skipped
+    # statically (solver.py: only a trip's last step can hit a check
+    # boundary when unroll divides check_every)
     out = _run_cp(sp, z0, eta0, x0j, alpha, alpha, tol0, BENCH_ITERS,
-                  check_every=25)
+                  check_every=25, unroll=args.unroll)
     jax.block_until_ready(out)
-    tic = time.perf_counter()
-    out = _run_cp(sp, z0, eta0, x0j, alpha, alpha, tol0, BENCH_ITERS,
-                  check_every=25)
-    jax.block_until_ready(out)
-    toc = time.perf_counter()
+    best = float("inf")
+    for _ in range(3):
+        tic = time.perf_counter()
+        out = _run_cp(sp, z0, eta0, x0j, alpha, alpha, tol0, BENCH_ITERS,
+                      check_every=25, unroll=args.unroll)
+        jax.block_until_ready(out)
+        best = min(best, time.perf_counter() - tic)
+    toc, tic = best, 0.0
 
     iters = int(out[2])
     ips = iters / (toc - tic)
@@ -69,6 +82,7 @@ def main() -> None:
         "value": round(ips, 3),
         "unit": "iter/s",
         "build_seconds": round(build_s, 1),
+        "unroll": args.unroll,
         "num_nodes": sp.num_nodes,
     }))
 
