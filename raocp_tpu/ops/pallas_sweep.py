@@ -28,14 +28,20 @@ import jax.numpy as jnp
 
 __all__ = ["sweep_eligible", "project_dynamics_pallas"]
 
-# A/B measurement on a v5e chip (9841-node, 50-state benchmark problem)
-# shows the fused kernel at parity with the stage-stacked XLA path
-# (~86 us vs ~83 us per apply): after the stage-constant-table rewrite the
-# sweep is bound by its sequential dependency chain (16 stages of small
-# dependent matmuls), which VMEM residency cannot shorten. The kernel is
-# therefore OPT-IN (RAOCP_TPU_PALLAS=1) — kept as the building block for
-# wider-tree / higher-state scales where the XLA per-stage op overhead
-# grows and the balance flips.
+# A/B measurements on a v5e chip (scripts/bench_pallas.py):
+#   * 9841-node / 50-state headline: parity with the stage-stacked XLA
+#     path (~86 us vs ~83 us per apply) — after the stage-constant-table
+#     rewrite the sweep is bound by its sequential dependency chain, which
+#     VMEM residency cannot shorten (and the 2.5x VMEM safety factor now
+#     rules this size out anyway);
+#   * 364-node / 96-state wide-shallow tree: **1.27x faster** (105.1 ->
+#     82.8 us) — big per-stage matmuls, few stages: the regime where the
+#     XLA path's per-op HBM round-trips dominate and VMEM residency pays.
+# The kernel stays OPT-IN (RAOCP_TPU_PALLAS=1): the winning regime —
+# small trees with large state dims, e.g. high-dimensional MPC with short
+# horizons — is not the headline scale, and Mosaic rejects sub-tile state
+# dims (n < 32: "only constant accumulators supported"), which
+# sweep_eligible guards against.
 
 
 def sweep_eligible(sp) -> bool:
@@ -52,6 +58,11 @@ def sweep_eligible(sp) -> bool:
     if sp.dtype != jnp.float32:
         return False
     if any(w is None for w in sp.ab_bwd) or any(k is None for k in sp.k_s):
+        return False
+    # Mosaic rejects the sweep's loop-carried accumulator at sub-tile state
+    # dims ("only constant accumulators supported", measured at n=8 on
+    # v5e); n=50/96 compile fine, so gate on a full sublane tile
+    if sp.n < 32:
         return False
     # Working set must fit the 16 MB scoped-VMEM stack: x_in/x_out (np*n
     # each), the q stages (np*n total, all alive through the backward

@@ -52,8 +52,7 @@ def main():
 
     # (label, states, inputs, modes, stages) — deep/narrow to wide/shallow
     configs = [
-        ("deep_binary_16st_2state", 2, 1, 2, 16),
-        ("deep_binary_12st_8state", 8, 3, 2, 12),
+        ("deep_binary_14st_8state", 8, 3, 2, 14),
         ("deep_tern_10st_16state", 16, 6, 3, 10),
         ("headline_8st_50state", 50, 20, 3, 8),
         ("wide_5st_96state", 96, 32, 3, 5),
@@ -74,14 +73,19 @@ def main():
                       x_in, u_in)
         os.environ["RAOCP_TPU_PALLAS"] = "1"
         eligible = sweep_eligible(sp)
-        t_pl = (_time(lambda x, u: project_dynamics(sp, x, u, x0j),
-                      x_in, u_in) if eligible else None)
+        t_pl = fail = None
+        if eligible:
+            try:
+                t_pl = _time(lambda x, u: project_dynamics(sp, x, u, x0j),
+                             x_in, u_in)
+            except Exception as e:  # Mosaic compile failures etc.
+                fail = str(e).splitlines()[0][:120]
         os.environ["RAOCP_TPU_PALLAS"] = "0"
         print(json.dumps({
             "config": label, "num_nodes": sp.num_nodes,
             "xla_us": round(t_xla, 1),
             "pallas_us": round(t_pl, 1) if t_pl is not None else None,
-            "eligible": eligible,
+            "eligible": eligible, "error": fail,
             "speedup": round(t_xla / t_pl, 2) if t_pl else None,
         }), flush=True)
 
