@@ -24,6 +24,7 @@ def main() -> None:
     ap.add_argument("--states", type=int, default=50)
     ap.add_argument("--inputs", type=int, default=20)
     ap.add_argument("--iters", type=int, default=50)
+    ap.add_argument("--unroll", type=int, default=5)
     args = ap.parse_args()
 
     import jax
@@ -58,11 +59,11 @@ def main() -> None:
     eta0 = jax.tree_util.tree_map(jnp.asarray, eta0)
 
     out = _run_cp(sp, z0, eta0, x0j, alpha, alpha, tol0, args.iters,
-                  check_every=25)
+                  check_every=25, unroll=args.unroll)
     jax.block_until_ready(out)
     tic = time.perf_counter()
     out = _run_cp(sp, z0, eta0, x0j, alpha, alpha, tol0, args.iters,
-                  check_every=25)
+                  check_every=25, unroll=args.unroll)
     jax.block_until_ready(out)
     toc = time.perf_counter()
 
@@ -76,6 +77,7 @@ def main() -> None:
         "tree_seconds": round(tree_s, 1),
         "build_seconds": round(build_s, 1),
         "iters": iters,
+        "unroll": args.unroll,
     }))
 
 

@@ -109,8 +109,12 @@ def main():
         controller, x0 = network_mpc_controller(
             num_modes=3, dtype=dtype, **kw)
         t0 = time.perf_counter()
+        # production loop config (check_every=25, unroll=5): per-iteration
+        # reference stopping at 1e5 nodes/100 states costs ~3x per step
         run = controller.run(x0, num_steps=3 if small else 5,
-                             max_iters=20000, tol=1e-3)
+                             max_iters=20000, tol=1e-3,
+                             check_every=1 if small else 25,
+                             unroll=1 if small else 5)
         wall = time.perf_counter() - t0
         print(json.dumps({
             "config": "5_mpc_closed_loop_1e5",
