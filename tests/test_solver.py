@@ -279,6 +279,30 @@ def test_relax_composes_with_production_loop_config():
     assert checks["dynamics"] < 1e-8 and checks["kernel"] < 1e-8
 
 
+def test_partial_unroll_matches_unrolled_checks():
+    """unroll < check_every (the large-problem production configuration):
+    since unroll divides check_every, only a trip's last step can land on
+    a check boundary — the solver skips the dead cond/history slots on
+    the other unroll-1 steps statically. Iterates, stopping iteration,
+    and the set of checked history rows must all match unroll=1
+    exactly."""
+    problem, x0 = demo_problem()
+    solver = Solver(problem)
+    r1 = solver.solve(x0, max_iters=2000, tol=1e-3, check_every=25,
+                      unroll=1)
+    r5 = solver.solve(x0, max_iters=2000, tol=1e-3, check_every=25,
+                      unroll=5)
+    assert r5.num_iters == r1.num_iters
+    np.testing.assert_allclose(r5.xi, r1.xi, rtol=0, atol=1e-14)
+    dx = np.abs(np.asarray(r1.primal.x) - np.asarray(r5.primal.x)).max()
+    assert dx < 1e-12
+    rows1 = np.where(~np.isnan(r1.xi_history[:, 0]))[0]
+    rows5 = np.where(~np.isnan(r5.xi_history[:, 0]))[0]
+    assert np.array_equal(rows1, rows5)
+    np.testing.assert_allclose(r5.xi_history[rows5], r1.xi_history[rows1],
+                               rtol=0, atol=1e-14)
+
+
 def test_solve_batch_elementwise_parity():
     """solve_batch vmaps the whole CP loop over initial states with exact
     per-element stopping (converged lanes freeze): the element carrying the
