@@ -271,7 +271,24 @@ def max_over_ambiguity(form: ConicForm, z) -> float:
         lambda v: -(obj @ v), v0, constraints=constraints, method="SLSQP",
         options={"maxiter": 500, "ftol": 1e-12})
     if not res.success:
-        raise RuntimeError(f"risk-evaluation SOCP failed: {res.message}")
+        # SLSQP's linesearch can stall at the cone boundary even on the
+        # smoothed form; trust-constr is slower but markedly more robust
+        # on these small convex programs
+        res2 = scipy.optimize.minimize(
+            lambda v: -(obj @ v), res.x if np.all(np.isfinite(res.x))
+            else v0, constraints=constraints, method="trust-constr",
+            options={"maxiter": 2000, "gtol": 1e-10})
+        if res2.success:
+            return float(-res2.fun)
+        # diagnosable failure: report both solver messages, the candidate
+        # value, and the worst constraint violation at the candidate
+        worst = min((float(np.min(c_["fun"](res2.x)))
+                     for c_ in constraints), default=0.0)
+        raise RuntimeError(
+            "risk-evaluation SOCP failed: "
+            f"SLSQP: {res.message!r}; trust-constr: {res2.message!r}; "
+            f"candidate rho={float(-res2.fun):.6g}, "
+            f"worst constraint margin {worst:.3e} (>=0 is feasible)")
     return float(-res.fun)
 
 
