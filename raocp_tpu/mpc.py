@@ -66,11 +66,14 @@ class RiskAverseMPC:
         plant. Defaults to the mode dynamics of the factory's problems
         (certainty about the model — the usual closed-loop experiment).
     :param dtype: forwarded to :class:`~raocp_tpu.solver.Solver`.
+    :param offline: forwarded to :class:`~raocp_tpu.solver.Solver` —
+        use ``"device"`` at large horizon scales so the per-mode Riccati
+        factorisations run on-chip instead of on the host.
     """
 
     def __init__(self, problem_factory: Callable[[np.ndarray], RAOCP],
                  transition_matrix, plant_dynamics: Optional[Sequence] = None,
-                 dtype=None):
+                 dtype=None, offline: str = "host"):
         self.__factory = problem_factory
         self.__p = np.asarray(transition_matrix, dtype=np.float64)
         if self.__p.ndim != 2 or self.__p.shape[0] != self.__p.shape[1]:
@@ -78,6 +81,10 @@ class RiskAverseMPC:
         self.__num_modes = self.__p.shape[0]
         self.__plant = plant_dynamics
         self.__dtype = dtype
+        # offline="device" runs each cached solver's Riccati factorisation
+        # on-chip — essential at BASELINE-config-5 scale, where the host
+        # path materialises ~[N, 100, 100] f64 stacks for close to an hour
+        self.__offline = offline
         self.__solvers = {}          # root mode -> (Solver, problem)
 
     @property
@@ -93,7 +100,8 @@ class RiskAverseMPC:
         NEXT mode — as that initial distribution."""
         if mode not in self.__solvers:
             problem = self.__factory(self.__p[mode].copy())
-            self.__solvers[mode] = (Solver(problem, dtype=self.__dtype),
+            self.__solvers[mode] = (Solver(problem, dtype=self.__dtype,
+                                           offline=self.__offline),
                                     problem)
         return self.__solvers[mode]
 

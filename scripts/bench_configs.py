@@ -107,7 +107,8 @@ def main():
               dict(num_states=100, num_inputs=40, num_stages=10,
                    stopping_time=9))
         controller, x0 = network_mpc_controller(
-            num_modes=3, dtype=dtype, **kw)
+            num_modes=3, dtype=dtype,
+            offline="host" if small else "device", **kw)
         t0 = time.perf_counter()
         # production loop config (check_every=25, unroll=5): per-iteration
         # reference stopping at 1e5 nodes/100 states costs ~3x per step
