@@ -278,15 +278,30 @@ def max_over_ambiguity(form: ConicForm, z) -> float:
             lambda v: -(obj @ v), res.x if np.all(np.isfinite(res.x))
             else v0, constraints=constraints, method="trust-constr",
             options={"maxiter": 2000, "gtol": 1e-10})
-        if res2.success:
+        # worst constraint margin at a candidate: <= 0 exactly when
+        # infeasible (equality rows count ANY nonzero residual against the
+        # margin, so a positive eq residual is not mistaken for slack)
+        def worst_margin(v):
+            margins = []
+            for c_ in constraints:
+                vals = np.atleast_1d(c_["fun"](v))
+                if c_["type"] == "eq":
+                    margins.append(-float(np.max(np.abs(vals))))
+                else:
+                    margins.append(float(np.min(vals)))
+            return min(margins, default=0.0)
+
+        if res2.success and worst_margin(res2.x) > -1e-8:
+            # trust-constr can report success at xtol stagnation while
+            # marginally infeasible; only accept a verified-feasible point
             return float(-res2.fun)
         # diagnosable failure: report both solver messages, the candidate
         # value, and the worst constraint violation at the candidate
-        worst = min((float(np.min(c_["fun"](res2.x)))
-                     for c_ in constraints), default=0.0)
+        worst = worst_margin(res2.x)
         raise RuntimeError(
             "risk-evaluation SOCP failed: "
-            f"SLSQP: {res.message!r}; trust-constr: {res2.message!r}; "
+            f"SLSQP: {res.message!r}; trust-constr: {res2.message!r} "
+            f"(success={res2.success}); "
             f"candidate rho={float(-res2.fun):.6g}, "
             f"worst constraint margin {worst:.3e} (>=0 is feasible)")
     return float(-res.fun)

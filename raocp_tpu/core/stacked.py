@@ -160,6 +160,28 @@ class StackedProblem:
     sumAPB: Optional[jax.Array]  # [num_nonleaf, n, m] sum_children Abar'P B
     Pi: jax.Array                # [num_nonleaf, D, D] kernel projectors (padded)
 
+    # -- subtree-partition (SPMD) metadata -----------------------------------
+    # Set only by parallel.subtree.build_subtree_problem, for StackedProblems
+    # whose arrays are the PER-DEVICE local blocks of a replicated-spine
+    # subtree partition (SURVEY §7(c)): stages [0, frontier) are replicated
+    # on every device, stages >= frontier are split evenly (each device owns
+    # complete subtrees; uneven stages carry interior ghost rows that stay
+    # identically zero). The ops then run shard-local except at the ONE
+    # frontier crossing, where the child reductions complete with a psum
+    # over ``spmd_axis`` (ops.operator._frontier_psum).
+    frontier: Optional[int] = dataclasses.field(
+        default=None, metadata=dict(static=True))
+    spmd_axis: Optional[str] = dataclasses.field(
+        default=None, metadata=dict(static=True))
+    spmd_ndev: Optional[int] = dataclasses.field(
+        default=None, metadata=dict(static=True))
+    # 1.0 on real rows / 0.0 on interior ghost rows of the all-node space
+    # (None = no interior ghosts: real rows are a prefix, masks derive from
+    # the static counts)
+    node_mask: Optional[jax.Array] = None
+    # 1.0 on real leaf rows (None = arange(lf_pad) < num_leaf)
+    lf_half_mask: Optional[jax.Array] = None
+
     # -- convenience -----------------------------------------------------------
 
     @property

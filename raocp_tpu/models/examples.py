@@ -191,7 +191,7 @@ def random_network_problem(num_states: int = 20, num_inputs: int = 8,
 
 
 def demo_mpc_controller(dtype=None, num_stages: int = 4,
-                        stopping_time: int = 3):
+                        stopping_time: int = 3, mesh=None):
     """Closed-loop risk-averse MPC on the reference demo plant
     (BASELINE config 5 shape at small scale).
 
@@ -209,14 +209,15 @@ def demo_mpc_controller(dtype=None, num_stages: int = 4,
                                   initial_distribution=v)
         return problem
 
-    return RiskAverseMPC(factory, p, dtype=dtype), np.array([5.0, -6.0, -1.0])
+    return (RiskAverseMPC(factory, p, dtype=dtype, mesh=mesh),
+            np.array([5.0, -6.0, -1.0]))
 
 
 def network_mpc_controller(num_states: int = 20, num_inputs: int = 8,
                            num_modes: int = 3, num_stages: int = 7,
                            stopping_time: int = 3, alpha: float = 0.95,
                            seed: int = 0, dtype=None,
-                           offline: str = "host"):
+                           offline: str = "host", mesh=None):
     """Closed-loop MPC on the random-network plant at any scale
     (full BASELINE config 5 when called with num_states=100 and a tree in
     the 10^5-node range). Returns (controller, initial_state)."""
@@ -237,7 +238,8 @@ def network_mpc_controller(num_states: int = 20, num_inputs: int = 8,
     _, x0 = random_network_problem(
         num_states=num_states, num_inputs=num_inputs, num_modes=num_modes,
         num_stages=2, stopping_time=1, seed=seed)
-    return RiskAverseMPC(factory, p, dtype=dtype, offline=offline), x0
+    return (RiskAverseMPC(factory, p, dtype=dtype, offline=offline,
+                          mesh=mesh), x0)
 
 
 def soc_network_problem(num_states: int = 20, num_inputs: int = 8,

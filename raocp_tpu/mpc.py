@@ -69,11 +69,16 @@ class RiskAverseMPC:
     :param offline: forwarded to :class:`~raocp_tpu.solver.Solver` —
         use ``"device"`` at large horizon scales so the per-mode Riccati
         factorisations run on-chip instead of on the host.
+    :param mesh: optional ``jax.sharding.Mesh`` forwarded to every cached
+        per-mode :class:`~raocp_tpu.solver.Solver` — the closed loop then
+        solves each receding-horizon problem SPMD with the scenario tree
+        partitioned over the mesh (BASELINE config 5's "partitioned across
+        2+ hosts" formulation).
     """
 
     def __init__(self, problem_factory: Callable[[np.ndarray], RAOCP],
                  transition_matrix, plant_dynamics: Optional[Sequence] = None,
-                 dtype=None, offline: str = "host"):
+                 dtype=None, offline: str = "host", mesh=None):
         self.__factory = problem_factory
         self.__p = np.asarray(transition_matrix, dtype=np.float64)
         if self.__p.ndim != 2 or self.__p.shape[0] != self.__p.shape[1]:
@@ -85,6 +90,7 @@ class RiskAverseMPC:
         # on-chip — essential at BASELINE-config-5 scale, where the host
         # path materialises ~[N, 100, 100] f64 stacks for close to an hour
         self.__offline = offline
+        self.__mesh = mesh
         self.__solvers = {}          # root mode -> (Solver, problem)
 
     @property
@@ -101,7 +107,8 @@ class RiskAverseMPC:
         if mode not in self.__solvers:
             problem = self.__factory(self.__p[mode].copy())
             self.__solvers[mode] = (Solver(problem, dtype=self.__dtype,
-                                           offline=self.__offline),
+                                           offline=self.__offline,
+                                           mesh=self.__mesh),
                                     problem)
         return self.__solvers[mode]
 

@@ -60,6 +60,23 @@ def _same_child(sp: StackedProblem):
                           and sp.stage_child[k] == sp.stage_child[k0])
 
 
+def _frontier_psum(sp: StackedProblem, k0: int, part):
+    """Complete a child reduction across the subtree-partition frontier.
+
+    Under the replicated-spine subtree partition (parallel.subtree) the
+    children of stage ``frontier - 1`` are sharded over the devices, so a
+    locally computed per-parent child reduction is PARTIAL (each device
+    contributes the children it owns; mask rows elsewhere are zero) — one
+    psum over the mesh axis completes it identically on every device. All
+    other stages reduce shard-locally: spine stages because parents and
+    children are both replicated, subtree stages because each device owns
+    complete subtrees. No-op outside shard_map (``spmd_axis`` unset)."""
+    if sp.spmd_axis is not None and sp.frontier is not None \
+            and k0 == sp.frontier - 1:
+        return jax.lax.psum(part, sp.spmd_axis)
+    return part
+
+
 def repad(arr, rows: int):
     """Pad axis 0 with zeros up to ``rows`` (no-op when already there).
 
@@ -94,7 +111,8 @@ def sum_over_children(sp: StackedProblem, w):
             rel = jnp.clip(sp.child_idx[a:b] - a2, 0, b2 - a2 - 1)
             mask = sp.child_mask[a:b]
             mask = mask.reshape(mask.shape + (1,) * (wk.ndim - 1))
-            parts.append(jnp.sum(wk[rel] * mask, axis=1))
+            parts.append(_frontier_psum(
+                sp, k0, jnp.sum(wk[rel] * mask, axis=1)))
     tail = sp.nl_pad - sp.num_nonleaf
     if tail:
         parts.append(jnp.zeros((tail,) + w.shape[1:], w.dtype))
@@ -216,11 +234,13 @@ def ell_t(sp: StackedProblem, eta: Dual) -> Primal:
                 w = sp.QRm.slice_rows(a2, b2).rmatvec(blk)
                 c = sp.stage_child[k0]
                 if c is not None:
-                    parts.append(w.reshape(b - a, c, F).sum(axis=1))
+                    parts.append(_frontier_psum(
+                        sp, k0, w.reshape(b - a, c, F).sum(axis=1)))
                 else:
                     rel = jnp.clip(sp.child_idx[a:b] - a2, 0, b2 - a2 - 1)
                     mask = sp.child_mask[a:b][..., None]
-                    parts.append(jnp.sum(w[rel] * mask, axis=1))
+                    parts.append(_frontier_psum(
+                        sp, k0, jnp.sum(w[rel] * mask, axis=1)))
         tail = sp.nl_pad - NL
         if tail:
             parts.append(jnp.zeros((tail, F), sp.dtype))

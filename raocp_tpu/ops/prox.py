@@ -90,7 +90,9 @@ def project_dynamics(sp: StackedProblem, x_in, u_in, x0):
 
             # fused [A | B]'q: one mode-grouped rmatvec + ONE child
             # reduction gives both sum_j A_j'q_j and sum_j B_j'q_j
-            abtq = segsum(sp.ABm.slice_rows(a2, b2).rmatvec(qc))
+            from raocp_tpu.ops.operator import _frontier_psum
+            abtq = _frontier_psum(
+                sp, k, segsum(sp.ABm.slice_rows(a2, b2).rmatvec(qc)))
         sum_atq, sum_btq = abtq[:, :n], abtq[:, n:]
         # sum_j Abar_j'q_j = sum_atq + K_i' sum_btq, fused into the K' term
         if sp.rinv_s[k] is not None:
@@ -170,7 +172,9 @@ def _gather_child_slots(sp: StackedProblem, v):
                     [blk, jnp.zeros((b - a, d - c), v.dtype)], axis=1)
             parts.append(blk)
         else:                      # single ragged stage
-            parts.append(v[sp.child_idx[a:b]] * sp.child_mask[a:b])
+            from raocp_tpu.ops.operator import _frontier_psum
+            parts.append(_frontier_psum(
+                sp, k0, v[sp.child_idx[a:b]] * sp.child_mask[a:b]))
     tail = sp.nl_pad - sp.num_nonleaf
     if tail:
         parts.append(jnp.zeros((tail, d), v.dtype))
@@ -191,7 +195,13 @@ def _scatter_parent_slots(sp: StackedProblem, w, orig):
         if c is not None:
             parts.append(w[a:b, :c].reshape(-1))
         else:                      # single ragged stage
-            parts.append(w[sp.anc[a2:b2], sp.child_rank[a2:b2]])
+            got = w[sp.anc[a2:b2], sp.child_rank[a2:b2]]
+            if sp.node_mask is not None:
+                # interior ghost rows (subtree partition) carry clipped
+                # anc/rank indices that alias real parent slots — mask them
+                # back to zero to keep the ghost-rows-zero invariant
+                got = got * sp.node_mask[a2:b2]
+            parts.append(got)
     tail = sp.np_pad - ss[sp.num_stages]
     if tail:
         parts.append(orig[ss[sp.num_stages]:])
@@ -255,8 +265,14 @@ def half_shift_dual(sp: StackedProblem) -> Dual:
     zero elsewhere (masked so dummy/padded rows stay zero)."""
     zero = sp.zero_dual()
     half_np = 0.5 * sp.nz_mask
-    half_lf = 0.5 * jnp.where(
-        jnp.arange(sp.lf_pad) < sp.num_leaf, 1.0, 0.0).astype(sp.dtype)
+    if sp.lf_half_mask is not None:
+        # subtree partition: real leaf rows are NOT a prefix of the local
+        # leaf space (per-device ghost tails sit at the end of each shard's
+        # chunk), so the mask is data, not an arange
+        half_lf = 0.5 * sp.lf_half_mask
+    else:
+        half_lf = 0.5 * jnp.where(
+            jnp.arange(sp.lf_pad) < sp.num_leaf, 1.0, 0.0).astype(sp.dtype)
     return zero._replace(e5=-half_np, e6=half_np,
                          e12=-half_lf, e13=half_lf)
 

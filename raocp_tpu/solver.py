@@ -111,6 +111,28 @@ def _normalise(z, norm):
     return jax.tree_util.tree_map(lambda v: v / norm, z)
 
 
+def _sp_primal_dot(sp: StackedProblem, a, b):
+    """<a, b> over primal pytrees, correct under the subtree partition.
+
+    Under parallel.subtree the spine rows [0, stage_start[frontier]) of
+    every node-space leaf are REPLICATED on all devices (and every primal
+    leaf — x/tau/s on the all-node space, u/y on the nonleaf space — has
+    its spine in exactly those leading rows), so the global inner product
+    is psum(local dot with spine rows downweighted by 1/num_devices).
+    Plain tree_dot outside a subtree partition."""
+    if sp.spmd_axis is None:
+        return tree_dot(a, b)
+    spine = sp.stage_start[sp.frontier]
+    scale = 1.0 - 1.0 / sp.spmd_ndev
+
+    def wdot(x, y):
+        return jnp.vdot(x, y) - scale * jnp.vdot(x[:spine], y[:spine])
+
+    parts = jax.tree_util.tree_map(wdot, a, b)
+    local = jnp.sum(jnp.stack(jax.tree_util.tree_leaves(parts)))
+    return jax.lax.psum(local, sp.spmd_axis)
+
+
 @partial(jax.jit, static_argnames=("max_iters",))
 @_with_matmul_precision
 def _power_iteration(sp: StackedProblem, max_iters: int = 10000,
@@ -120,16 +142,19 @@ def _power_iteration(sp: StackedProblem, max_iters: int = 10000,
     template = sp.zero_primal()
     leaves, treedef = jax.tree_util.tree_flatten(template)
     keys = jax.random.split(key, len(leaves))
+    # under the subtree partition every device draws the same randoms for
+    # its local shapes (same key, same shapes), so the replicated spine
+    # rows start consistent across devices
     z0 = jax.tree_util.tree_unflatten(
         treedef, [jax.random.normal(k, l.shape, l.dtype)
                   for k, l in zip(keys, leaves)])
-    z0 = _normalise(z0, jnp.sqrt(tree_dot(z0, z0)))
+    z0 = _normalise(z0, jnp.sqrt(_sp_primal_dot(sp, z0, z0)))
 
     def body(carry):
         z, lam_prev, _, k = carry
         w = ell_t(sp, ell(sp, z))
-        lam = tree_dot(z, w)                 # Rayleigh quotient (z normalised)
-        z_next = _normalise(w, jnp.sqrt(tree_dot(w, w)))
+        lam = _sp_primal_dot(sp, z, w)       # Rayleigh quotient (z normalised)
+        z_next = _normalise(w, jnp.sqrt(_sp_primal_dot(sp, w, w)))
         return z_next, lam, lam_prev, k + 1
 
     def cond(carry):
@@ -193,6 +218,11 @@ def _cp_residuals(sp, z, zn, eta, en, Lz, Lzn, Lt, Ltn, alpha1, alpha2):
                      tree_inf_norm(xi2)])
     derr = jnp.stack([tree_inf_norm(d0), tree_inf_norm(d1),
                       tree_inf_norm(d2)])
+    if sp.spmd_axis is not None:
+        # subtree partition: local max-norms -> global (spine rows are
+        # replicated and ghost rows zero, so a plain pmax is exact)
+        err = jax.lax.pmax(err, sp.spmd_axis)
+        derr = jax.lax.pmax(derr, sp.spmd_axis)
     return err, derr
 
 
@@ -649,6 +679,18 @@ class Solver:
         return plot_solution(self.__spec.tree, self.__result,
                              filename=filename, show=show)
 
+    def save_residuals_tex(self, filename: str) -> None:
+        """pgfplots export of the residual curves (reference writes
+        '4-3-residuals.tex', ``solver.py:199``)."""
+        from raocp_tpu.utils.plots import save_residuals_tex
+        save_residuals_tex(self.__result, filename)
+
+    def save_solution_tex(self, filename: str) -> None:
+        """pgfplots export of the trajectory fans (reference writes
+        'python-solution.tex', ``solver.py:253``)."""
+        from raocp_tpu.utils.plots import save_solution_tex
+        save_solution_tex(self.__spec.tree, self.__result, filename)
+
     def validate(self, result: Optional[SolverResult] = None) -> dict:
         """Host-side sanity check of a solution — the debug-mode analogue of
         the reference's runtime kernel-projection self-check
@@ -673,35 +715,77 @@ class Solver:
         s = np.asarray(res.primal.s)
         NL, N = sp.num_nonleaf, sp.num_nodes
 
-        dyn = 0.0
-        for j in range(1, N):
-            i = int(tree.ancestor_of(j))
-            pred = spec.state_dynamics_at_node(j) @ x[i] \
-                + spec.control_dynamics_at_node(j) @ u[i]
-            dyn = max(dyn, float(np.abs(x[j] - pred).max()))
+        # Everything below is batched numpy — an earlier per-node Python
+        # loop version took minutes at 1e5 nodes (it was invoked after
+        # every bench solve), this takes milliseconds at 1e5 x 100 states.
 
-        ker = 0.0
+        # dynamics: group nodes by (A, B) mode (the per-mode tables are the
+        # same interning build_stacked uses), one batched matmul per mode
+        from raocp_tpu.core.stacked import _dedup_dynamics
+        modes_a, modes_b, w_idx = _dedup_dynamics(spec, sp.n, sp.m)
+        anc = tree.ancestors
+        dyn = 0.0
+        for w in range(1, modes_a.shape[0]):
+            nodes = np.nonzero(w_idx == w)[0]
+            nodes = nodes[nodes >= 1]
+            if nodes.size == 0:
+                continue
+            par = anc[nodes]
+            pred = x[par] @ modes_a[w].T + u[par] @ modes_b[w].T
+            dyn = max(dyn, float(np.abs(x[nodes] - pred).max()))
+
+        # kernel: group nonleaf nodes by distinct (E, F, child count) and
+        # evaluate ||M [y; tau_ch; s_ch]||_inf as one batched matmul each
+        groups: dict = {}
         for i in range(NL):
             risk = spec.risk_at_node(i)
-            ch = tree.children_of(i)
-            c = len(ch)
-            yi = y[i, :risk.matrix_e.shape[0]]
-            M = np.vstack((
-                np.hstack((risk.matrix_e.T, -np.eye(c), -np.eye(c))),
-                np.hstack((risk.matrix_f.T, np.zeros((risk.matrix_f.shape[1],
-                                                      c)),
-                           np.zeros((risk.matrix_f.shape[1], c))))))
-            v = np.concatenate([yi, tau[ch], s[ch]])
-            ker = max(ker, float(np.abs(M @ v).max()))
+            E, F = risk.matrix_e, risk.matrix_f
+            c = int(tree.child_count[i])
+            key = (E.shape, E.tobytes(), F.shape, F.tobytes(), c)
+            groups.setdefault(key, (E, F, c, []))[3].append(i)
+        ker = 0.0
+        ch_idx = tree.children_padded
+        for E, F, c, nodes in groups.values():
+            nodes = np.asarray(nodes)
+            eye, zc = np.eye(c), np.zeros((F.shape[1], c))
+            M = np.vstack((np.hstack((E.T, -eye, -eye)),
+                           np.hstack((F.T, zc, zc))))
+            ch = ch_idx[nodes, :c]
+            V = np.concatenate(
+                [y[nodes, :E.shape[0]], tau[ch], s[ch]], axis=1)
+            if V.size:
+                ker = max(ker, float(np.abs(V @ M.T).max()))
 
-        con = 0.0
-        for i in range(NL):
-            c_i = spec.nonleaf_constraint_at_node(i)
-            if c_i.is_active:
-                con = max(con, c_i.violation(np.concatenate([x[i], u[i]])))
-        for i in range(NL, N):
-            c_i = spec.leaf_constraint_at_node(i)
-            if c_i.is_active:
-                con = max(con, c_i.violation(x[i]))
+        # constraints: evaluated from the stacked tables (same semantics as
+        # the per-node Constraint.violation oracles — Rectangle/Polyhedral
+        # row residuals; Ball max-norm distance to the Euclidean projection)
+        def table_violation(v, G, lo, hi, active, ball_c, ball_r):
+            act = active > 0.0
+            if not act.any():
+                return 0.0
+            img = v if G is None else v @ G.T
+            rect = np.maximum(np.maximum(lo - img, img - hi), 0.0)
+            rect = np.where(np.isfinite(rect), rect, 0.0).max(axis=1)
+            diff = v - ball_c
+            dist = np.linalg.norm(diff, axis=1)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                factor = np.where(
+                    dist > ball_r, 1.0 - ball_r / np.maximum(dist, 1e-300),
+                    0.0)
+            ball = factor * np.abs(diff).max(axis=1)
+            return float(np.maximum(rect, ball)[act].max())
+
+        xu = np.concatenate([x[:NL], u[:NL]], axis=1)
+        con = table_violation(
+            xu, None if sp.nl_G is None else np.asarray(sp.nl_G),
+            np.asarray(sp.nl_lo[:NL]), np.asarray(sp.nl_hi[:NL]),
+            np.asarray(sp.nl_active[:NL]), np.asarray(sp.nl_ball_c[:NL]),
+            np.asarray(sp.nl_ball_r[:NL]))
+        LF = N - NL
+        con = max(con, table_violation(
+            x[NL:N], None if sp.l_G is None else np.asarray(sp.l_G),
+            np.asarray(sp.l_lo[:LF]), np.asarray(sp.l_hi[:LF]),
+            np.asarray(sp.l_active[:LF]), np.asarray(sp.l_ball_c[:LF]),
+            np.asarray(sp.l_ball_r[:LF])))
 
         return {"dynamics": dyn, "kernel": ker, "constraints": con}

@@ -9,7 +9,8 @@ from typing import Optional
 
 import numpy as np
 
-__all__ = ["plot_residuals", "plot_solution"]
+__all__ = ["plot_residuals", "plot_solution", "save_residuals_tex",
+           "save_solution_tex"]
 
 
 def plot_residuals(result, filename: Optional[str] = None, show: bool = True):
@@ -93,5 +94,67 @@ def save_residuals_tex(result, filename: str) -> None:
             lines.append(f"({k},{hist[k, c]:.6e})")
         lines.append("};")
     lines += ["\\end{semilogyaxis}", "\\end{tikzpicture}", ""]
+    with open(filename, "w") as fh:
+        fh.write("\n".join(lines))
+
+
+def _scenario_paths(tree, values, from_parent: bool):
+    """One (stage, value) polyline per leaf scenario, walking ancestors
+    (the reference's trajectory-fan construction, ``solver.py:218-242``).
+    ``from_parent`` starts each walk at the leaf's parent (controls live on
+    nonleaf nodes)."""
+    leaves = tree.nodes_at_stage(tree.num_stages - 1)
+    paths = []
+    for leaf in leaves:
+        j = int(tree.ancestor_of(leaf)) if from_parent else int(leaf)
+        pts = []
+        while j >= 0:
+            pts.append((int(tree.stage_of(j)), float(values[j])))
+            j = int(tree.ancestor_of(j))
+        paths.append(list(reversed(pts)))
+    return paths
+
+
+def save_solution_tex(tree, result, filename: str) -> None:
+    """Write the solution trajectory fans as a standalone pgfplots .tex
+    file — one groupplot per state/control element, one addplot per leaf
+    scenario.
+
+    Parity with the reference's tikzplotlib export of the solution plot
+    (reference ``solver.py:202-253`` writes 'python-solution.tex');
+    implemented directly since tikzplotlib is not a dependency.
+    """
+    x = np.asarray(result.primal.x)
+    u = np.asarray(result.primal.u)
+    n, m = x.shape[1], u.shape[1]
+    cols = max(n, m)
+    lines = [
+        "\\begin{tikzpicture}",
+        "\\begin{groupplot}[group style={group size="
+        f"{cols} by 2}},",
+        "xlabel={stage $t$}, ylabel={value}]",
+    ]
+
+    def emit(paths, title):
+        lines.append(f"\\nextgroupplot[title={{{title}}}]")
+        for pts in paths:
+            lines.append("\\addplot+[mark=none] coordinates {")
+            for t, v in pts:
+                lines.append(f"({t},{v:.6e})")
+            lines.append("};")
+
+    for element in range(cols):
+        if element < n:
+            emit(_scenario_paths(tree, x[:, element], from_parent=False),
+                 f"$x_{{{element}}}(t)$")
+        else:
+            lines.append("\\nextgroupplot[hide axis]")
+    for element in range(cols):
+        if element < m:
+            emit(_scenario_paths(tree, u[:, element], from_parent=True),
+                 f"$u_{{{element}}}(t)$")
+        else:
+            lines.append("\\nextgroupplot[hide axis]")
+    lines += ["\\end{groupplot}", "\\end{tikzpicture}", ""]
     with open(filename, "w") as fh:
         fh.write("\n".join(lines))

@@ -57,37 +57,46 @@ def main():
         ("headline_8st_50state", 50, 20, 3, 8),
         ("wide_5st_96state", 96, 32, 3, 5),
     ]
-    for label, n, m, modes, stages in configs:
-        problem, x0 = random_network_problem(
-            num_states=n, num_inputs=m, num_modes=modes,
-            num_stages=stages, stopping_time=stages)
-        solver = Solver(problem, dtype=jnp.float32, offline="device")
-        sp = solver.stacked
-        x0j = jnp.asarray(x0, sp.dtype)
-        key = jax.random.PRNGKey(0)
-        x_in = jax.random.normal(key, (sp.np_pad, sp.n), sp.dtype)
-        u_in = jax.random.normal(key, (sp.nl_pad, sp.m), sp.dtype)
+    # scope the RAOCP_TPU_PALLAS override: restore the caller's value on
+    # exit so importing/chaining this bench never leaks a changed env
+    saved = os.environ.get("RAOCP_TPU_PALLAS")
+    try:
+        for label, n, m, modes, stages in configs:
+            problem, x0 = random_network_problem(
+                num_states=n, num_inputs=m, num_modes=modes,
+                num_stages=stages, stopping_time=stages)
+            solver = Solver(problem, dtype=jnp.float32, offline="device")
+            sp = solver.stacked
+            x0j = jnp.asarray(x0, sp.dtype)
+            key = jax.random.PRNGKey(0)
+            x_in = jax.random.normal(key, (sp.np_pad, sp.n), sp.dtype)
+            u_in = jax.random.normal(key, (sp.nl_pad, sp.m), sp.dtype)
 
-        os.environ["RAOCP_TPU_PALLAS"] = "0"
-        t_xla = _time(lambda x, u: project_dynamics(sp, x, u, x0j),
-                      x_in, u_in)
-        os.environ["RAOCP_TPU_PALLAS"] = "1"
-        eligible = sweep_eligible(sp)
-        t_pl = fail = None
-        if eligible:
-            try:
-                t_pl = _time(lambda x, u: project_dynamics(sp, x, u, x0j),
-                             x_in, u_in)
-            except Exception as e:  # Mosaic compile failures etc.
-                fail = str(e).splitlines()[0][:120]
-        os.environ["RAOCP_TPU_PALLAS"] = "0"
-        print(json.dumps({
-            "config": label, "num_nodes": sp.num_nodes,
-            "xla_us": round(t_xla, 1),
-            "pallas_us": round(t_pl, 1) if t_pl is not None else None,
-            "eligible": eligible, "error": fail,
-            "speedup": round(t_xla / t_pl, 2) if t_pl else None,
-        }), flush=True)
+            os.environ["RAOCP_TPU_PALLAS"] = "0"
+            t_xla = _time(lambda x, u: project_dynamics(sp, x, u, x0j),
+                          x_in, u_in)
+            os.environ["RAOCP_TPU_PALLAS"] = "1"
+            eligible = sweep_eligible(sp)
+            t_pl = fail = None
+            if eligible:
+                try:
+                    t_pl = _time(
+                        lambda x, u: project_dynamics(sp, x, u, x0j),
+                        x_in, u_in)
+                except Exception as e:  # Mosaic compile failures etc.
+                    fail = str(e).splitlines()[0][:120]
+            print(json.dumps({
+                "config": label, "num_nodes": sp.num_nodes,
+                "xla_us": round(t_xla, 1),
+                "pallas_us": round(t_pl, 1) if t_pl is not None else None,
+                "eligible": eligible, "error": fail,
+                "speedup": round(t_xla / t_pl, 2) if t_pl else None,
+            }), flush=True)
+    finally:
+        if saved is None:
+            os.environ.pop("RAOCP_TPU_PALLAS", None)
+        else:
+            os.environ["RAOCP_TPU_PALLAS"] = saved
 
 
 if __name__ == "__main__":

@@ -85,3 +85,25 @@ def test_warm_start_runs_and_helps():
     assert warm.iterations[0] == cold.iterations[0]
     assert warm.iterations.sum() <= cold.iterations.sum() * 1.05
     np.testing.assert_allclose(warm.states[1], cold.states[1], atol=1e-6)
+
+
+def test_closed_loop_on_mesh_matches_single_device():
+    """RiskAverseMPC(mesh=...) (BASELINE config 5's 'partitioned across 2+
+    hosts' formulation): the closed loop on the 8-device mesh must realise
+    the same trajectory, controls, and per-step iteration counts as the
+    single-device run — the mesh changes where work happens, not the math."""
+    from raocp_tpu.parallel import make_mesh
+
+    mesh = make_mesh(num_devices=8)
+    sharded, x0 = demo_mpc_controller(mesh=mesh)
+    single, _ = demo_mpc_controller()
+
+    kw = dict(num_steps=3, initial_mode=1, seed=7, max_iters=3000, tol=1e-3)
+    run_sh = sharded.run(x0, **kw)
+    run_1 = single.run(x0, **kw)
+
+    assert run_sh.converged
+    np.testing.assert_array_equal(run_sh.iterations, run_1.iterations)
+    np.testing.assert_array_equal(run_sh.modes, run_1.modes)
+    np.testing.assert_allclose(run_sh.states, run_1.states, atol=1e-9)
+    np.testing.assert_allclose(run_sh.inputs, run_1.inputs, atol=1e-9)

@@ -49,6 +49,27 @@ def test_pgfplots_export(solved, tmp_path):
     assert "axis" in text and "addplot" in text
 
 
+def test_pgfplots_solution_export(solved, tmp_path):
+    """The reference also commits its trajectory fans as a pgfplots .tex
+    ('python-solution.tex', reference solver.py:253); save_solution_tex
+    produces the same artifact — one group plot per element, one scenario
+    polyline per leaf."""
+    from raocp_tpu.utils.plots import save_solution_tex
+
+    problem, solver = solved
+    out = tmp_path / "solution.tex"
+    save_solution_tex(problem.tree, solver.result, str(out))
+    text = out.read_text()
+    assert "groupplot" in text and "addplot" in text
+    # one state fan per element + one control fan per element, each with
+    # one polyline per leaf scenario
+    tree = problem.tree
+    num_leaves = tree.num_leaf_nodes
+    n = solver.result.primal.x.shape[1]
+    m = solver.result.primal.u.shape[1]
+    assert text.count("\\addplot") == (n + m) * num_leaves
+
+
 def test_bulls_eye_plot(solved, tmp_path):
     problem, _ = solved
     out = tmp_path / "tree.png"
