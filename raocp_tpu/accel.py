@@ -157,30 +157,35 @@ def run_cp_anderson(sp: StackedProblem, z0, eta0, x0, alpha, tol,
 
     dW = _h_zeros(W0, memory)
     dR = _h_zeros(W0, memory)
+    G0 = jnp.zeros((memory, memory), dt)
     hist = (jnp.zeros((max_iters + 1, 6), dt) if check_every == 1
             else jnp.full((max_iters + 1, 6), jnp.nan, dt))
 
-    # carry: W, R, err/derr (xi at last check), histories, counters
+    # carry: W, R, err/derr (xi at last check), histories, the Gram matrix
+    # G = dR dR' (maintained INCREMENTALLY: a push touches one row+column
+    # via a single [memory x dim] pass instead of re-reading the whole
+    # history for the full Gram each iteration — at 1e4 nodes the O(m^2 d)
+    # recompute was the dominant accel cost), counters
     #   k: accepted iterations; evals: T evaluations; pushes: rows written
-    state = (W0, R0, err0, derr0, dW, dR, jnp.asarray(0, jnp.int32),
+    state = (W0, R0, err0, derr0, dW, dR, G0, jnp.asarray(0, jnp.int32),
              jnp.asarray(1, jnp.int32), jnp.asarray(0, jnp.int32), hist)
 
     def cond(state):
-        err, k = state[2], state[6]
+        err, k = state[2], state[7]
         return jnp.logical_or(k == 0,
                               jnp.logical_and(jnp.max(err) > tol,
                                               k < max_iters + 1))
 
     def body(state):
-        W, R, err, derr, dW, dR, k, evals, pushes, hist = state
+        W, R, err, derr, dW, dR, G, k, evals, pushes, hist = state
         valid = (jnp.arange(memory) < pushes).astype(dt)
 
         # Anderson candidate from the valid history rows; the normal
         # equations and masking live entirely in the [memory] space
-        G = _h_gram(_true(dR)) * (valid[:, None] * valid[None, :]) \
+        Gm = G * (valid[:, None] * valid[None, :]) \
             + reg * jnp.eye(memory, dtype=dt)
         b = _h_dot(_true(dR), _true(R)) * valid
-        gamma = jnp.linalg.solve(G, b) * valid
+        gamma = jnp.linalg.solve(Gm, b) * valid
         W_cand = _sub(_add(W, R), _add(_h_combo(dW, gamma),
                                        _h_combo(dR, gamma)))
 
@@ -216,13 +221,18 @@ def run_cp_anderson(sp: StackedProblem, z0, eta0, x0, alpha, tol,
                 checked, jnp.concatenate([err, derr]), jnp.nan))
 
         slot = jnp.mod(pushes, memory)
+        row = _sub(R_new, R)
+        dR = _h_set(dR, slot, row)
         dW = _h_set(dW, slot, _sub(W_new, W))
-        dR = _h_set(dR, slot, _sub(R_new, R))
-        return (W_new, R_new, err, derr, dW, dR, k + 1, evals, pushes + 1,
-                hist)
+        # rank-1 Gram maintenance: <new row, every row> fills the slot's
+        # row and column (the diagonal entry rides along in both)
+        g_row = _h_dot(_true(dR), _true(row))
+        G = G.at[slot, :].set(g_row).at[:, slot].set(g_row)
+        return (W_new, R_new, err, derr, dW, dR, G, k + 1, evals,
+                pushes + 1, hist)
 
     out = jax.lax.while_loop(cond, body, state)
-    W, _, err, _, _, _, k, evals, _, hist = out
+    W, err, k, evals, hist = out[0], out[2], out[7], out[8], out[10]
     return W[0], W[1], k, evals, err, hist
 
 

@@ -388,28 +388,63 @@ class Solver:
     """Builds the stacked problem + offline factorisations, then solves.
 
     :param mesh: optional ``jax.sharding.Mesh`` (1-D, from
-        :func:`raocp_tpu.parallel.make_mesh`). When given, the stacked
-        problem and every iterate are sharded along the node axis over the
-        mesh and the whole CP loop runs SPMD — GSPMD inserts the
-        frontier-gather and residual-reduction collectives. ``pad_multiple``
-        defaults to the device count so the node spaces split evenly.
+        :func:`raocp_tpu.parallel.make_mesh`). When given, the whole CP
+        loop runs SPMD over the mesh.
+    :param partition: multi-device strategy (needs ``mesh``):
+
+        * ``"subtree"`` — replicated-spine subtree partition
+          (:mod:`raocp_tpu.parallel.subtree`): each device owns complete
+          subtrees below a frontier stage; ~5 spine-sized collectives per
+          iteration. Needs uniform branching below some stage.
+        * ``"flat"`` — even GSPMD split of the node axis
+          (:mod:`raocp_tpu.parallel.sharding`): works for any tree, but
+          shard boundaries cut stage slices, so GSPMD reshards around
+          every per-stage op (~140 collectives/iteration).
+        * ``"auto"`` (default) — subtree when the tree admits a frontier
+          and the mesh has more than one device, flat otherwise.
     """
 
     def __init__(self, problem_spec: RAOCP, dtype=None,
                  pad_multiple: Optional[int] = None, offline: str = "host",
-                 mesh=None):
+                 mesh=None, partition: str = "auto"):
         self.__spec = problem_spec
         self.__mesh = mesh
-        if pad_multiple is None:
-            pad_multiple = mesh.devices.size if mesh is not None else 1
-        self.__stacked = build_stacked(problem_spec, dtype=dtype,
-                                       pad_multiple=pad_multiple,
-                                       offline=offline)
-        if mesh is not None:
-            from raocp_tpu.parallel.sharding import shard_problem
-            self.__stacked = shard_problem(self.__stacked, mesh)
+        self.__subtree = None
+        if partition not in ("auto", "subtree", "flat"):
+            raise ValueError(f"unknown partition '{partition}'")
+        if mesh is not None and partition in ("auto", "subtree"):
+            from raocp_tpu.parallel.subtree import (build_subtree_problem,
+                                                    choose_frontier)
+            probe = build_stacked(problem_spec, dtype=dtype, pad_multiple=1,
+                                  offline=offline)
+            eligible = choose_frontier(probe, int(mesh.devices.size))
+            if partition == "subtree" and eligible is None:
+                raise ValueError(
+                    "partition='subtree' needs uniform branching below "
+                    "some stage; this tree is ragged everywhere — use "
+                    "partition='flat'")
+            if eligible is not None and int(mesh.devices.size) > 1:
+                self.__subtree = build_subtree_problem(
+                    problem_spec, mesh, dtype=dtype, offline=offline,
+                    prebuilt=probe)
+                self.__stacked = probe
+        if self.__subtree is None:
+            if pad_multiple is None:
+                pad_multiple = mesh.devices.size if mesh is not None else 1
+            self.__stacked = build_stacked(problem_spec, dtype=dtype,
+                                           pad_multiple=pad_multiple,
+                                           offline=offline)
+            if mesh is not None:
+                from raocp_tpu.parallel.sharding import shard_problem
+                self.__stacked = shard_problem(self.__stacked, mesh)
         self.__result: Optional[SolverResult] = None
         self.__lambda_max: Optional[float] = None
+
+    @property
+    def subtree(self):
+        """The :class:`~raocp_tpu.parallel.subtree.SubtreeProblem` when the
+        solver runs the replicated-spine partition, else None."""
+        return self.__subtree
 
     def operator_norm_sq(self) -> float:
         """lambda_max(L'L), memoised per Solver. The stacked problem is
@@ -417,7 +452,10 @@ class Solver:
         loops and repeated :meth:`solve` calls pay the power iteration
         (hundreds of L/L' applies at rel_tol 1e-12) exactly once."""
         if self.__lambda_max is None:
-            lam, _ = _power_iteration(self.__stacked)
+            if self.__subtree is not None:
+                lam, _ = self.__subtree.power_iteration()
+            else:
+                lam, _ = _power_iteration(self.__stacked)
             self.__lambda_max = float(lam)
         return self.__lambda_max
 
@@ -502,6 +540,13 @@ class Solver:
         x0 = jnp.asarray(x0_np, dtype=sp.dtype)
         if x0.shape != (sp.n,):
             raise ValueError(f"initial state must have {sp.n} entries")
+        if self.__subtree is not None:
+            return self._solve_subtree(
+                x0_np, max_iters=max_iters, tol=tol, alpha=alpha,
+                warm_start=warm_start, log_every=log_every,
+                profile_dir=profile_dir, accel=accel,
+                check_every=check_every, unroll=unroll,
+                step_ratio=step_ratio, adaptive=adaptive, relax=relax)
         if alpha is None:
             alpha = 0.999 / self.operator_norm_sq()
         if warm_start is None:
@@ -572,6 +617,70 @@ class Solver:
         )
         return self.__result
 
+    def _solve_subtree(self, x0_np, max_iters, tol, alpha, warm_start,
+                       log_every, profile_dir, accel, check_every, unroll,
+                       step_ratio, adaptive, relax) -> SolverResult:
+        """Chambolle-Pock under the replicated-spine subtree partition
+        (:mod:`raocp_tpu.parallel.subtree`): the production loop runs
+        inside one shard_map over the mesh; iterates live in the
+        [num_devices * local_rows, ...] block layout and results are
+        repacked to the global node layout, so :meth:`validate`, plots,
+        checkpoints, and warm starts are layout-agnostic."""
+        stp = self.__subtree
+        sp = stp.sp
+        if accel is not None:
+            raise ValueError(
+                "accelerated loops are not supported under the subtree "
+                "partition yet; use partition='flat' for accel runs")
+        if log_every is not None:
+            raise ValueError("log_every is not supported under the subtree "
+                             "partition (host callbacks inside shard_map)")
+        if step_ratio <= 0.0:
+            raise ValueError(f"step_ratio must be positive, got {step_ratio}")
+        if not 0.0 < relax < 2.0:
+            raise ValueError(f"relax must lie in (0, 2), got {relax}")
+        if alpha is None:
+            alpha = 0.999 / self.operator_norm_sq()
+        if warm_start is None:
+            z0 = stp.zero_primal_global_layout()
+            # the root is local row 0 on EVERY device (replicated spine)
+            z0.x[::stp.l_np] = x0_np.astype(z0.x.dtype)
+            eta0 = stp.zero_dual_global_layout()
+        else:
+            zg, eg = warm_start
+            z0 = stp.primal_to_local(Primal(*zg))
+            eta0 = stp.dual_to_local(Dual(*eg))
+        import contextlib
+        profiler_cm = (jax.profiler.trace(profile_dir) if profile_dir
+                       else contextlib.nullcontext())
+        x0 = jnp.asarray(x0_np, sp.dtype)
+        tic = time.perf_counter()
+        with profiler_cm:
+            z, eta, iters, err, hist = stp.run_cp(
+                z0, eta0, x0,
+                jnp.asarray(alpha * step_ratio, sp.dtype),
+                jnp.asarray(alpha / step_ratio, sp.dtype),
+                jnp.asarray(tol, sp.dtype),
+                max_iters, check_every=check_every, unroll=unroll,
+                adaptive=adaptive, relax=float(relax))
+            jax.block_until_ready(err)
+        iters = int(iters)
+        err = np.asarray(err)
+        toc = time.perf_counter()
+        hist = np.asarray(hist[:iters])
+        self.__result = SolverResult(
+            status=0 if float(err.max()) <= tol else 1,
+            num_iters=iters,
+            xi=err,
+            xi_history=hist[:, :3],
+            delta_history=hist[:, 3:],
+            alpha=float(alpha),
+            solve_time=toc - tic,
+            primal=stp.primal_to_global(z),
+            dual=stp.dual_to_global(eta),
+        )
+        return self.__result
+
     def solve_batch(self, initial_states, max_iters: int = 10,
                     tol: float = 1e-5, alpha: Optional[float] = None,
                     check_every: int = 1, unroll: int = 1,
@@ -599,6 +708,9 @@ class Solver:
         single-solve result) — validate batch elements explicitly via
         ``solver.validate(results[b])``.
         """
+        if self.__subtree is not None:
+            raise ValueError("solve_batch is not supported under the "
+                             "subtree partition; use partition='flat'")
         sp = self.__stacked
         x0s = np.asarray(initial_states, dtype=np.float64)
         if x0s.ndim != 2 or x0s.shape[1] != sp.n:

@@ -182,7 +182,7 @@ def test_sharded_full_solve_reference_parity():
 
     problem, x0 = demo_problem()
     mesh = make_mesh(num_devices=8)
-    sharded = Solver(problem, mesh=mesh)
+    sharded = Solver(problem, mesh=mesh, partition="flat")
     res = sharded.solve(x0, max_iters=2000, tol=1e-3)
     assert res.converged and res.num_iters == 937
     np.testing.assert_allclose(
@@ -208,7 +208,7 @@ def test_sharded_production_loop_config():
 
     problem, x0 = demo_problem()
     mesh = make_mesh(num_devices=8)
-    res = Solver(problem, mesh=mesh).solve(
+    res = Solver(problem, mesh=mesh, partition="flat").solve(
         x0, max_iters=2000, tol=1e-3, check_every=25, unroll=25)
     single = Solver(problem, pad_multiple=8).solve(
         x0, max_iters=2000, tol=1e-3, check_every=25, unroll=25)
@@ -231,7 +231,7 @@ def test_sharded_relax_adaptive():
 
     problem, x0 = demo_problem()
     mesh = make_mesh(num_devices=8)
-    res = Solver(problem, mesh=mesh).solve(
+    res = Solver(problem, mesh=mesh, partition="flat").solve(
         x0, max_iters=2000, tol=1e-3, relax=1.5, adaptive=True)
     single = Solver(problem, pad_multiple=8).solve(
         x0, max_iters=2000, tol=1e-3, relax=1.5, adaptive=True)
