@@ -150,7 +150,9 @@ class RiskAverseMPC:
             initial_mode: Optional[int] = None, seed: int = 0,
             max_iters: int = 5000, tol: float = 1e-3,
             warm_start: bool = True, check_every: int = 1,
-            unroll: int = 1) -> ClosedLoopResult:
+            unroll: int = 1, relax: float = 1.0,
+            step_ratio: float = 1.0,
+            adaptive: bool = False) -> ClosedLoopResult:
         """Simulate ``num_steps`` of closed-loop risk-averse MPC.
 
         When ``initial_mode`` is None it is sampled from the stationary-ish
@@ -158,6 +160,9 @@ class RiskAverseMPC:
         production loop controls of :meth:`Solver.solve` — at 1e5-node
         horizons the defaults (reference per-iteration stopping) cost ~3x
         the production configuration per MPC step.
+        ``relax``/``step_ratio``/``adaptive`` are the iteration-count
+        cutters of :meth:`Solver.solve` (Condat over-relaxation, step
+        balancing, adaptive PDHG), forwarded to every per-step solve.
         """
         rng = np.random.default_rng(seed)
         x = np.asarray(initial_state, dtype=np.float64).reshape(-1)
@@ -179,7 +184,8 @@ class RiskAverseMPC:
             tic = time.perf_counter()
             res: SolverResult = solver.solve(
                 x, max_iters=max_iters, tol=tol, warm_start=ws,
-                check_every=check_every, unroll=unroll)
+                check_every=check_every, unroll=unroll, relax=relax,
+                step_ratio=step_ratio, adaptive=adaptive)
             times.append(time.perf_counter() - tic)
             u = np.asarray(res.primal.u[0], dtype=np.float64)
             if warm_start:

@@ -71,6 +71,13 @@ def main() -> None:
     timed("plain_cp_check25_unroll25",
           lambda: _run_cp(sp, z0, eta0, x0j, alpha, alpha, tol, MAX_ITERS,
                           check_every=25, unroll=25))
+    # the solver's own zero-cost iteration cutter, for an honest "is accel
+    # worth it" comparison: relaxation cuts iterations at no per-step cost
+    for rho in (1.5, 1.8):
+        timed(f"plain_cp_relax{rho}_check25_unroll25",
+              lambda rho=rho: _run_cp(
+                  sp, z0, eta0, x0j, alpha, alpha, tol, MAX_ITERS,
+                  check_every=25, unroll=25, relax=rho), relax=rho)
     for mem in (5, 10):
         def and_run(mem=mem):
             return run_cp_anderson(sp, tuple(z0), tuple(eta0), x0j, alpha,

@@ -78,6 +78,21 @@ def main() -> None:
         lambda s, e: tree_inf_norm(ell_t(s, e)))(
             sp, shard_variables(eta1, mesh)))
 
+    # the SUBTREE partition under the same 2-process global mesh: the full
+    # production loop with frontier psums riding the Gloo backend
+    from raocp_tpu.parallel.subtree import build_subtree_problem
+
+    stp = build_subtree_problem(problem, mesh)
+    zs = stp.zero_primal_global_layout()
+    zs.x[::stp.l_np] = np.asarray(x0, zs.x.dtype)
+    es = stp.zero_dual_global_layout()
+    out_s = stp.run_cp(zs, es, jnp.asarray(np.asarray(x0), stp.sp.dtype),
+                       alpha, alpha, jnp.asarray(0.0, stp.sp.dtype),
+                       max_iters=30)
+    jax.block_until_ready(out_s)
+    err_s = np.asarray(out_s[3])
+    hist_s = np.asarray(out_s[4])
+
     print(json.dumps({
         "pid": pid,
         "iters": int(iters),
@@ -85,6 +100,8 @@ def main() -> None:
         "hist_sum": float(np.nansum(hist)),
         "op_norm": op_norm,
         "adj_norm": adj_norm,
+        "subtree_err": [float(v) for v in err_s],
+        "subtree_hist_sum": float(np.nansum(hist_s)),
     }), flush=True)
 
 

@@ -46,7 +46,8 @@ def test_two_process_distributed_solve_loop():
         outs.append(json.loads(out.strip().splitlines()[-1]))
 
     # both processes computed the same global values (replicated outputs)
-    for key in ("iters", "err", "hist_sum", "op_norm", "adj_norm"):
+    for key in ("iters", "err", "hist_sum", "op_norm", "adj_norm",
+                "subtree_err", "subtree_hist_sum"):
         np.testing.assert_allclose(outs[0][key], outs[1][key], rtol=1e-12,
                                    err_msg=key)
 
@@ -85,3 +86,10 @@ def test_two_process_distributed_solve_loop():
                                rtol=1e-10)
     np.testing.assert_allclose(outs[0]["op_norm"], op_norm, rtol=1e-12)
     np.testing.assert_allclose(outs[0]["adj_norm"], adj_norm, rtol=1e-12)
+    # the subtree-partition loop under the 2-process mesh (frontier psums
+    # over Gloo) agrees with the single-process residuals
+    np.testing.assert_allclose(outs[0]["subtree_err"], np.asarray(err),
+                               atol=1e-10)
+    np.testing.assert_allclose(outs[0]["subtree_hist_sum"],
+                               float(np.nansum(np.asarray(hist))),
+                               rtol=1e-9)
