@@ -182,6 +182,22 @@ class StackedProblem:
     # 1.0 on real leaf rows (None = arange(lf_pad) < num_leaf)
     lf_half_mask: Optional[jax.Array] = None
 
+    # -- mode-constant Riccati tables (post-stopping chain stages) -----------
+    # Each chain node's single-child subtree is a chain of one Markov mode,
+    # so (K, Rinv, sumAPB) take only num_modes distinct values per stage,
+    # indexed by the node's chain class (``riccati_cls``, the mode of its
+    # child). Tables are [M, ...] replicated arrays; the sweeps apply them
+    # all-modes-then-select (ModalMatrix style). This removes the dense
+    # [N, n, n]-class offline stacks for stopped Markov trees — the
+    # reference's standard shape — where the stage-constant path alone
+    # cannot (measured: the dense device factorisation at 1e5 nodes x 100
+    # states peaks ~10 GB HBM and OOMs a v5e chip). None on stages covered
+    # by k_s or the dense fallback; empty tuple on pre-feature instances.
+    k_ms: Tuple[Optional[jax.Array], ...] = ()       # [M, m, n]
+    rinv_ms: Tuple[Optional[jax.Array], ...] = ()    # [M, m, m]
+    sumapb_ms: Tuple[Optional[jax.Array], ...] = ()  # [M, n, m]
+    riccati_cls: Optional[jax.Array] = None          # [np_pad] int32
+
     # -- convenience -----------------------------------------------------------
 
     @property
@@ -594,6 +610,100 @@ def _offline_riccati_stage(modes_a, modes_b, patterns):
     return P_s, K_s, Rinv_s, APB_s, Abar_s
 
 
+def _riccati_plan(w_idx: np.ndarray, stage_start, stage_child, ab_pat):
+    """Backward classification of nonleaf stages for table-based Riccati:
+
+    * ``("const", pattern)`` — uniform child-mode pattern AND a
+      table-compatible child stage: every node of the stage shares one
+      (P, K, Rinv, sumAPB).
+    * ``("modal", cls)`` — chain stage (uniform single child) whose
+      per-node subtree is classed by the child's mode (a stopped Markov
+      chain: the chain copies the mode forever), so the tables take at
+      most num_modes distinct values, indexed by ``cls``.
+    * ``None`` — dense fallback; table validity is a suffix property, so
+      every stage above a None is None too.
+    """
+    ns_nl = len(stage_child)
+    plan = [None] * ns_nl
+    below_kind, below_cls = "I", None
+    for k in range(ns_nl - 1, -1, -1):
+        a2, b2 = stage_start[k + 1], stage_start[k + 2]
+        child_modes = w_idx[a2:b2]
+        # a modal child stage is consumable iff each child's class equals
+        # its own mode (true exactly when the chain repeats the mode)
+        ok_below = below_kind != "modal" or bool(
+            np.array_equal(below_cls, child_modes))
+        if ab_pat[k] is not None and ok_below:
+            plan[k] = ("const", ab_pat[k])
+            below_kind, below_cls = "const", None
+        elif stage_child[k] == 1 and ok_below:
+            cls = child_modes.astype(np.int32)
+            plan[k] = ("modal", cls)
+            below_kind, below_cls = "modal", cls
+        else:
+            break
+    return plan
+
+
+def _offline_riccati_tables(modes_a, modes_b, plan):
+    """Backward Riccati recursion over the table plan: one tiny matrix per
+    ("const") stage, one [num_modes, ...] table per ("modal") chain stage.
+    Host numpy float64; replaces the [N, n, n]-class dense stacks for any
+    stopped Markov tree. Returns per-stage lists
+    (K_s, Rinv_s, APB_s, K_ms, Rinv_ms, APB_ms), None where not that kind.
+    """
+    n, m = modes_a.shape[1], modes_b.shape[2]
+    M = modes_a.shape[0]
+    ns_nl = len(plan)
+    eye_n, eye_m = np.eye(n), np.eye(m)
+    K_s, Rinv_s, APB_s, K_ms, Rinv_ms, APB_ms = (
+        [None] * ns_nl for _ in range(6))
+    P_rep = ("I", eye_n)
+    for k in range(ns_nl - 1, -1, -1):
+        if plan[k] is None:
+            break
+        kind, data = plan[k]
+        if kind == "const":
+            pat = list(data)
+            A = modes_a[pat]
+            B = modes_b[pat]
+            if P_rep[0] == "modal":
+                Pc = P_rep[1][pat]                       # [c, n, n]
+            else:
+                Pc = np.broadcast_to(P_rep[1], (len(pat), n, n))
+            PB = Pc @ B
+            r_tilde = eye_m + np.einsum("rba,rbc->ac", B, PB)
+            sum_k = np.einsum("rba,rbc->ac", B, Pc @ A)
+            Rinv_s[k] = np.linalg.inv(r_tilde)
+            K = np.linalg.solve(r_tilde, -sum_k)
+            Abar = A + B @ K
+            K_s[k] = K
+            APB_s[k] = np.einsum("rba,rbc->ac", Abar, PB)
+            P_rep = ("const",
+                     eye_n + K.T @ K
+                     + np.einsum("rba,rbc,rcd->ad", Abar, Pc, Abar))
+        else:                                            # modal chain stage
+            cls = data
+            Pm = np.zeros((M, n, n))
+            Km = np.zeros((M, m, n))
+            Rm = np.zeros((M, m, m))
+            APBm = np.zeros((M, n, m))
+            for w in np.unique(cls):
+                A, B = modes_a[w], modes_b[w]
+                Pc = P_rep[1][w] if P_rep[0] == "modal" else P_rep[1]
+                PB = Pc @ B
+                r_tilde = eye_m + B.T @ PB
+                Rm[w] = np.linalg.inv(r_tilde)
+                K = np.linalg.solve(r_tilde, -(B.T @ Pc @ A))
+                Abar = A + B @ K
+                Km[w] = K
+                APBm[w] = Abar.T @ PB
+                Pm[w] = eye_n + K.T @ K + Abar.T @ Pc @ Abar
+            K_ms[k], Rinv_ms[k], APB_ms[k] = Km, Rm, APBm
+            P_rep = ("modal", Pm)
+    return K_s, Rinv_s, APB_s, K_ms, Rinv_ms, APB_ms
+
+
 def _stage_mode_patterns(idx: np.ndarray, stage_start, stage_child):
     """Per nonleaf stage: the child mode sequence (tuple of mode ids, length
     c) when it is identical for every parent in the stage, else None."""
@@ -831,27 +941,44 @@ def build_stacked(spec: RAOCP, dtype=None,
         qr_fwd = qr_bwd = tuple(None for _ in stage_child)
 
     # Which dense stacks does the solve actually read? K/Rinv/sumAPB only
-    # on stages without stage-constant tables; A/B/P/Abar never (the sweeps
-    # use the mode-grouped / per-stage forms). fully_const implies every
-    # stage has tables (stage_const is a suffix property).
+    # on stages with neither stage-constant nor mode-constant tables;
+    # A/B/P/Abar never (the sweeps use the mode-grouped / per-stage
+    # forms). fully_const implies every stage has scalar tables
+    # (stage_const is a suffix property); fully_tabled additionally covers
+    # post-stopping chain stages via [num_modes, ...] mode tables
+    # (_riccati_plan) — the standard stopped-Markov-tree shape then needs
+    # NO dense stacks at any scale.
     fully_const = bool(ns_nl) and stage_const[0]
-    need_kr = keep_dense or not fully_const
+    plan = _riccati_plan(w_idx, stage_start, stage_child, ab_pat)
+    fully_tabled = bool(ns_nl) and plan[0] is not None
+    need_kr = keep_dense or not fully_tabled
 
     A_dev = B_dev = P_dev = Rinv_dev = K_dev = None
     Abar_dev = sumAPB_dev = None
     k_s = rinv_s = sumapb_s = None
+    k_ms = rinv_ms = sumapb_ms = None
+    riccati_cls = None
 
-    if fully_const and not keep_dense:
+    if fully_tabled and not keep_dense:
         # No dense stacks at all: the Riccati recursion runs on the host
-        # over ONE tiny matrix per stage (microseconds, float64) and only
-        # the per-stage tables — a few KB — reach the device. This is both
-        # the fastest setup path and the memory floor (at 1e5 nodes / 50
-        # states the dense stacks it avoids are ~3.5 GB of dead HBM).
-        _, K_sl, Rinv_sl, APB_sl, _ = _offline_riccati_stage(
-            modes_a, modes_b, ab_pat)
-        k_s = tuple(dev(t) for t in K_sl)
-        rinv_s = tuple(dev(t) for t in Rinv_sl)
-        sumapb_s = tuple(dev(t) for t in APB_sl)
+        # over ONE tiny matrix per stage (per mode on chain stages;
+        # microseconds, float64) and only the tables — a few KB — reach
+        # the device. This is both the fastest setup path and the memory
+        # floor (at 1e5 nodes / 50 states the dense stacks it avoids are
+        # ~3.5 GB of dead HBM; at 100 states the general device
+        # factorisation peaks ~10 GB and OOMs a v5e chip).
+        K_sl, Rinv_sl, APB_sl, K_msl, Rinv_msl, APB_msl = \
+            _offline_riccati_tables(modes_a, modes_b, plan)
+        opt = lambda tabs: tuple(                     # noqa: E731
+            None if t is None else dev(t) for t in tabs)
+        k_s, rinv_s, sumapb_s = opt(K_sl), opt(Rinv_sl), opt(APB_sl)
+        k_ms, rinv_ms, sumapb_ms = opt(K_msl), opt(Rinv_msl), opt(APB_msl)
+        if any(t is not None for t in k_ms):
+            cls = np.zeros(NP_, dtype=np.int32)
+            for k in range(ns_nl):
+                if plan[k] is not None and plan[k][0] == "modal":
+                    cls[stage_start[k]:stage_start[k + 1]] = plan[k][1]
+            riccati_cls = dev(cls, jnp.int32)
     elif offline == "device":
         @jax.jit
         def _expand(ma, mb, idx):
@@ -926,6 +1053,8 @@ def build_stacked(spec: RAOCP, dtype=None,
                        for k in range(ns_nl))
         sumapb_s = tuple(sumAPB_dev[stage_start[k]] if stage_const[k]
                          else None for k in range(ns_nl))
+    if k_ms is None:
+        k_ms = rinv_ms = sumapb_ms = tuple(None for _ in range(ns_nl))
     if not need_kr:
         Rinv_dev = K_dev = sumAPB_dev = None
 
@@ -950,6 +1079,8 @@ def build_stacked(spec: RAOCP, dtype=None,
         sqrtQ=sqrtQ_m, sqrtR=sqrtR_m, QRm=QRm, sqrtP=sqrtP_m,
         ab_fwd=ab_fwd, ab_bwd=ab_bwd, qr_fwd=qr_fwd, qr_bwd=qr_bwd,
         k_s=k_s, rinv_s=rinv_s, sumapb_s=sumapb_s,
+        k_ms=k_ms, rinv_ms=rinv_ms, sumapb_ms=sumapb_ms,
+        riccati_cls=riccati_cls,
         b_pad=dev(_pad0(b_pad, NLP)), y_mask=dev(_pad0(y_mask, NLP)),
         nl_lo=dev(_pad0(nl_lo, NLP, -np.inf)),
         nl_hi=dev(_pad0(nl_hi, NLP, np.inf)),

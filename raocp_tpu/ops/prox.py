@@ -23,6 +23,20 @@ from raocp_tpu.ops.cones import (constraint_project, nonneg_project,
 __all__ = ["prox_f", "prox_g_conj", "project_dynamics", "project_kernel"]
 
 
+def _modal_rows(v, tables, cls):
+    """rows[i] = tables[cls[i]] @ v[i] without materialising per-node
+    stacks: all-modes dense matmul then per-row select (the ModalMatrix
+    pattern; tables [M, a, b], v [W, b] -> [W, a])."""
+    allm = jnp.einsum("ib,wab->iwa", v, tables)
+    return jnp.take_along_axis(allm, cls[:, None, None], axis=1)[:, 0]
+
+
+def _modal_rows_t(v, tables, cls):
+    """rows[i] = tables[cls[i]]' @ v[i] (tables [M, a, b], v [W, a])."""
+    allm = jnp.einsum("ia,wab->iwb", v, tables)
+    return jnp.take_along_axis(allm, cls[:, None, None], axis=1)[:, 0]
+
+
 def _set_rows(buf, a: int, b: int, val):
     """Replace rows [a, b) of ``buf`` with ``val`` (static bounds).
 
@@ -103,6 +117,17 @@ def project_dynamics(sp: StackedProblem, x_in, u_in, x0):
                           + (d_k - u_in[a:b] + sum_btq) @ sp.k_s[k]
                           + d_k @ sp.sumapb_s[k].T
                           + sum_atq)
+        elif sp.rinv_ms and sp.rinv_ms[k] is not None:
+            # mode-constant Riccati (post-stopping chain stage): tiny
+            # [num_modes, ...] tables applied all-modes-then-select by the
+            # node's chain class — no per-node stacks touch HBM
+            cls = sp.riccati_cls[a:b]
+            d_k = _modal_rows(u_in[a:b] - sum_btq, sp.rinv_ms[k], cls)
+            q_stage[k] = (-x_in[a:b]
+                          + _modal_rows_t(d_k - u_in[a:b] + sum_btq,
+                                          sp.k_ms[k], cls)
+                          + _modal_rows(d_k, sp.sumapb_ms[k], cls)
+                          + sum_atq)
         else:
             d_k = jnp.einsum("iab,ib->ia", sp.Rinv[a:b],
                              u_in[a:b] - sum_btq)
@@ -121,6 +146,9 @@ def project_dynamics(sp: StackedProblem, x_in, u_in, x0):
         a2, b2 = ss[k + 1], ss[k + 2]
         if sp.k_s[k] is not None:
             u_k = x_stage[k] @ sp.k_s[k].T + d_stage[k]
+        elif sp.k_ms and sp.k_ms[k] is not None:
+            u_k = _modal_rows(x_stage[k], sp.k_ms[k],
+                              sp.riccati_cls[a:b]) + d_stage[k]
         else:
             u_k = jnp.einsum("iab,ib->ia", sp.K[a:b], x_stage[k]) \
                 + d_stage[k]

@@ -41,7 +41,7 @@ _NODE_SHARDED_FIELDS = (
     "b_pad", "y_mask", "risk_free_rows", "risk_zero_rows",
     "nl_lo", "nl_hi", "nl_active", "nl_ball_c", "nl_ball_r",
     "l_lo", "l_hi", "l_active", "l_ball_c", "l_ball_r",
-    "P", "Rinv", "K", "Abar", "sumAPB", "Pi",
+    "P", "Rinv", "K", "Abar", "sumAPB", "Pi", "riccati_cls",
 )
 # small shared matrices (optional fields may be None)
 _OPTIONAL_REPLICATED_FIELDS = ("nl_G", "l_G")
@@ -51,7 +51,8 @@ _OPTIONAL_NODE_SHARDED_FIELDS = ("risk_soc_rows", "risk_soc_tail")
 # per-node mode index (or dense stack) is sharded
 _MODAL_FIELDS = ("sqrtQ", "sqrtR", "sqrtP", "Am", "Bm", "ABm", "QRm")
 _REPLICATED_FIELDS = ("ab_fwd", "ab_bwd", "qr_fwd", "qr_bwd",
-                      "k_s", "rinv_s", "sumapb_s")
+                      "k_s", "rinv_s", "sumapb_s",
+                      "k_ms", "rinv_ms", "sumapb_ms")
 
 
 def make_mesh(devices: Optional[Sequence] = None,

@@ -56,7 +56,7 @@ __all__ = ["SubtreeProblem", "build_subtree_problem", "choose_frontier",
 
 # field -> node space (all sharded along dim 0 of the local block layout)
 _NP_FIELDS = {"anc", "child_rank", "nz_mask", "node_mask", "A", "B", "P",
-              "Abar"}
+              "Abar", "riccati_cls"}
 _NL_FIELDS = {"child_idx", "child_mask", "b_pad", "y_mask",
               "risk_free_rows", "risk_zero_rows", "risk_soc_rows",
               "risk_soc_tail", "nl_lo", "nl_hi", "nl_active", "nl_ball_c",
@@ -66,7 +66,7 @@ _LF_FIELDS = {"l_lo", "l_hi", "l_active", "l_ball_c", "l_ball_r",
 _MODAL_NP = {"Am", "Bm", "ABm", "sqrtQ", "sqrtR", "QRm"}
 _MODAL_LF = {"sqrtP"}
 _REPL_FIELDS = {"ab_fwd", "ab_bwd", "qr_fwd", "qr_bwd", "k_s", "rinv_s",
-                "sumapb_s", "nl_G", "l_G"}
+                "sumapb_s", "k_ms", "rinv_ms", "sumapb_ms", "nl_G", "l_G"}
 
 # per-field ghost-row fill (default 0; bounds must stay inactive on ghosts)
 _FILLS = {"nl_lo": -np.inf, "nl_hi": np.inf, "nl_ball_r": np.inf,
@@ -436,7 +436,8 @@ def build_subtree_problem(spec, mesh: Mesh, dtype=None,
         values[name] = tuple(None if k == f - 1 else tab[k]
                              for k in range(len(tab)))
         kinds[name] = "repl"
-    for name in ("k_s", "rinv_s", "sumapb_s", "nl_G", "l_G"):
+    for name in ("k_s", "rinv_s", "sumapb_s", "k_ms", "rinv_ms",
+                 "sumapb_ms", "nl_G", "l_G"):
         values[name] = getattr(g, name)
         kinds[name] = "repl"
 

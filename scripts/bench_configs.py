@@ -26,7 +26,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _solve_config(name, problem, x0, dtype, accel=None, max_iters=20000,
-                  tol=1e-3, offline="device"):
+                  tol=1e-3, offline="device", **solve_kw):
+    """One artifact row. Every config gets a PLAIN CP row; configs that
+    name an accelerated formulation additionally get the accel row, so
+    plain-vs-accel is provable per config inside one artifact."""
     import jax.numpy as jnp
 
     from raocp_tpu.solver import Solver
@@ -34,21 +37,28 @@ def _solve_config(name, problem, x0, dtype, accel=None, max_iters=20000,
     t0 = time.perf_counter()
     solver = Solver(problem, dtype=dtype, offline=offline)
     setup_s = time.perf_counter() - t0
-    res = solver.solve(x0, max_iters=max_iters, tol=tol, accel=accel)
-    # re-run: first solve pays compilation; the loop itself is what we time
-    res = solver.solve(x0, max_iters=max_iters, tol=tol, accel=accel)
-    v = solver.validate(res)
-    print(json.dumps({
-        "config": name,
-        "num_nodes": problem.tree.num_nodes,
-        "converged": bool(res.converged),
-        "iterations": res.num_iters,
-        "iters_per_s": round(res.iters_per_second, 2),
-        "time_to_tol_s": round(res.solve_time, 4),
-        "setup_s": round(setup_s, 2),
-        "max_violation": max(v.values()),
-        "accel": accel,
-    }), flush=True)
+
+    def one(row_name, **kw):
+        res = solver.solve(x0, max_iters=max_iters, tol=tol, **kw)
+        # re-run: the first solve pays compilation; the loop is what we time
+        res = solver.solve(x0, max_iters=max_iters, tol=tol, **kw)
+        v = solver.validate(res)
+        print(json.dumps({
+            "config": row_name,
+            "num_nodes": problem.tree.num_nodes,
+            "converged": bool(res.converged),
+            "iterations": res.num_iters,
+            "iters_per_s": round(res.iters_per_second, 2),
+            "time_to_tol_s": round(res.solve_time, 4),
+            "setup_s": round(setup_s, 2),
+            "max_violation": max(v.values()),
+            "accel": kw.get("accel"),
+        }), flush=True)
+        return res
+
+    res = one(name, **solve_kw)
+    if accel is not None:
+        one(f"{name}_{accel}", accel=accel)
     return res
 
 
@@ -101,11 +111,14 @@ def main():
 
     if 5 in which:
         # closed-loop risk-averse MPC on the 100-state plant; the per-step
-        # problem is a ~1e5-node tree (3^0..3^9 via stopping_time=9)
+        # problem is a ~1e5-node tree (88,573 nodes: 3^0..3^10, fully
+        # branched — a post-stopping chain at this state dim would force
+        # the dense device Riccati stacks, ~10 GB peak HBM; the fully
+        # branched tree keeps the stage-constant table path AND is larger)
         kw = (dict(num_states=8, num_inputs=3, num_stages=3,
                    stopping_time=2) if small else
               dict(num_states=100, num_inputs=40, num_stages=10,
-                   stopping_time=9))
+                   stopping_time=10))
         controller, x0 = network_mpc_controller(
             num_modes=3, dtype=dtype,
             offline="host" if small else "device", **kw)

@@ -227,3 +227,61 @@ def test_elided_build_solves_to_parity():
 
     res = Solver(problem).solve(x0, max_iters=5000, tol=1e-3)
     assert res.converged
+
+
+def test_mode_constant_riccati_tables_chain_tree():
+    """Stopped Markov trees (uniform branching + post-stopping chains —
+    the reference's standard shape) must need NO dense offline stacks: the
+    chain stages get [num_modes, ...] mode tables indexed by riccati_cls,
+    and the dynamics projection matches the dense fallback exactly. Without
+    this, 1e5-node/100-state builds OOM a 16 GB chip (the general device
+    factorisation peaks ~10 GB)."""
+    import jax.numpy as jnp
+
+    from raocp_tpu.models import random_network_problem
+    from raocp_tpu.ops.prox import project_dynamics
+
+    problem, x0 = random_network_problem(
+        num_states=8, num_inputs=3, num_modes=3, num_stages=6,
+        stopping_time=4)
+    sp = build_stacked(problem)
+    # chain stages (4, 5) are mode-tabled; branching stages stage-constant
+    assert [t is not None for t in sp.k_s] == [True] * 4 + [False] * 2
+    assert [t is not None for t in sp.k_ms] == [False] * 4 + [True] * 2
+    assert sp.riccati_cls is not None
+    # the memory win: no dense per-node stacks at all
+    assert sp.K is None and sp.Rinv is None and sp.sumAPB is None
+
+    sp_dense = build_stacked(problem, keep_dense=True)
+    assert sp_dense.K is not None
+    rng = np.random.default_rng(0)
+    x_in = jnp.asarray(rng.standard_normal((sp.np_pad, sp.n)), sp.dtype)
+    u_in = jnp.asarray(rng.standard_normal((sp.nl_pad, sp.m)), sp.dtype)
+    x0j = jnp.asarray(np.asarray(x0), sp.dtype)
+    xa, ua = project_dynamics(sp, x_in, u_in, x0j)
+    xb, ub = project_dynamics(sp_dense, x_in, u_in, x0j)
+    np.testing.assert_allclose(np.asarray(xa), np.asarray(xb), atol=1e-10)
+    np.testing.assert_allclose(np.asarray(ua), np.asarray(ub), atol=1e-10)
+
+
+def test_mode_constant_tables_full_solve_and_subtree():
+    """Full-solve parity of the tabled chain tree against the dense build,
+    single-device and under the 8-device subtree partition."""
+    import jax
+
+    from raocp_tpu.models import random_network_problem
+    from raocp_tpu.parallel import make_mesh
+    from raocp_tpu.solver import Solver
+
+    problem, x0 = random_network_problem(
+        num_states=6, num_inputs=2, num_modes=3, num_stages=5,
+        stopping_time=3)
+    fast = Solver(problem).solve(x0, max_iters=3000, tol=1e-3)
+    mesh = make_mesh(num_devices=8)
+    sub = Solver(problem, mesh=mesh)
+    assert sub.subtree is not None
+    res = sub.solve(x0, max_iters=3000, tol=1e-3)
+    assert fast.converged and res.num_iters == fast.num_iters
+    for a, b in zip(jax.tree_util.tree_leaves(res.primal),
+                    jax.tree_util.tree_leaves(fast.primal)):
+        np.testing.assert_allclose(a, b, atol=1e-10)
