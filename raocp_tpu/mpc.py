@@ -152,7 +152,8 @@ class RiskAverseMPC:
             warm_start: bool = True, check_every: int = 1,
             unroll: int = 1, relax: float = 1.0,
             step_ratio: float = 1.0,
-            adaptive: bool = False) -> ClosedLoopResult:
+            adaptive: bool = False,
+            chunk_iters: Optional[int] = None) -> ClosedLoopResult:
         """Simulate ``num_steps`` of closed-loop risk-averse MPC.
 
         When ``initial_mode`` is None it is sampled from the stationary-ish
@@ -185,7 +186,8 @@ class RiskAverseMPC:
             res: SolverResult = solver.solve(
                 x, max_iters=max_iters, tol=tol, warm_start=ws,
                 check_every=check_every, unroll=unroll, relax=relax,
-                step_ratio=step_ratio, adaptive=adaptive)
+                step_ratio=step_ratio, adaptive=adaptive,
+                chunk_iters=chunk_iters)
             times.append(time.perf_counter() - tic)
             u = np.asarray(res.primal.u[0], dtype=np.float64)
             if warm_start:

@@ -481,7 +481,8 @@ class Solver:
               unroll: int = 1,
               step_ratio: float = 1.0,
               adaptive: bool = False,
-              relax: float = 1.0) -> SolverResult:
+              relax: float = 1.0,
+              chunk_iters: Optional[int] = None) -> SolverResult:
         """Run Chambolle-Pock with the given initial state.
 
         :param alpha: overrides the 0.999/lambda_max(L'L) step rule
@@ -534,6 +535,17 @@ class Solver:
             recompiles the loop — minutes on a tunnelled TPU backend, so
             avoid fine-grained rho sweeps on hardware. Plain CP only
             (ignored under ``accel``).
+        :param chunk_iters: cap each DEVICE execution at this many
+            iterations and resume on the host until convergence or
+            ``max_iters`` (iterates stay on device between chunks; the
+            histories concatenate, so results are identical up to the
+            chunk-boundary residual checks). Long-running single
+            executions are where infrastructure faults bite — a 1e5-node
+            solve to 1e-3 is minutes of continuous device time in ONE
+            dispatch, and a preemption or transport hiccup then kills the
+            whole solve; chunking bounds the blast radius to one chunk.
+            Plain CP only; with ``adaptive`` the rebalance state restarts
+            at each chunk boundary.
         """
         sp = self.__stacked
         x0_np = np.asarray(initial_state, dtype=np.float64).reshape(-1)
@@ -577,7 +589,32 @@ class Solver:
         if not 0.0 < relax < 2.0:
             raise ValueError(f"relax must lie in (0, 2), got {relax}")
         with profiler_cm:
-            if accel is None:
+            if accel is None and chunk_iters is not None:
+                a1 = jnp.asarray(alpha * step_ratio, sp.dtype)
+                a2 = jnp.asarray(alpha / step_ratio, sp.dtype)
+                tolj = jnp.asarray(tol, sp.dtype)
+                zc, ec = z0, eta0
+                iters = 0
+                hists = []
+                # constant per-chunk budget: a shrunken final chunk would
+                # recompile the loop (max_iters is static) — minutes on a
+                # tunnelled backend — so the max_iters cap rounds up to a
+                # chunk multiple instead
+                while True:
+                    z, eta, it, err, hist = _run_cp(
+                        sp, tuple(zc), tuple(ec), x0, a1, a2, tolj,
+                        int(chunk_iters), log_every, check_every, unroll,
+                        adaptive, float(relax))
+                    it = int(it)
+                    iters += it
+                    hists.append(np.asarray(hist[:it]))
+                    if (float(np.asarray(err).max()) <= tol
+                            or iters >= max_iters or it == 0):
+                        break
+                    zc, ec = z, eta          # device-resident warm start
+                hist = (np.concatenate(hists) if hists
+                        else np.zeros((0, 6)))
+            elif accel is None:
                 z, eta, iters, err, hist = _run_cp(
                     sp, z0, eta0, x0,
                     jnp.asarray(alpha * step_ratio, sp.dtype),

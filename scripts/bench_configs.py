@@ -106,7 +106,7 @@ def main():
         problem, x0 = random_network_problem(
             num_states=50, num_inputs=20, num_modes=3,
             num_stages=4 if small else 8, stopping_time=4 if small else 8)
-        _solve_config("4_network_1e4_supermann", problem, x0, dtype,
+        _solve_config("4_network_1e4", problem, x0, dtype,
                       accel="supermann")
 
     if 5 in which:
@@ -125,10 +125,15 @@ def main():
         t0 = time.perf_counter()
         # production loop config (check_every=25, unroll=5): per-iteration
         # reference stopping at 1e5 nodes/100 states costs ~3x per step
+        # chunk_iters bounds each device execution to ~15 s: a preempted /
+        # faulted dispatch (observed twice on the shared tunnelled chip
+        # during multi-minute single executions) then costs one chunk, and
+        # the solve resumes from the device-resident iterate
         run = controller.run(x0, num_steps=3 if small else 5,
                              max_iters=20000, tol=1e-3,
                              check_every=1 if small else 25,
-                             unroll=1 if small else 5)
+                             unroll=1 if small else 5,
+                             chunk_iters=None if small else 2500)
         wall = time.perf_counter() - t0
         print(json.dumps({
             "config": "5_mpc_closed_loop_1e5",

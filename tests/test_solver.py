@@ -381,3 +381,19 @@ def test_wasserstein_empty_ball_rejected():
     bad_cost = np.ones((3, 3))          # every move (even staying) costs 1
     with pytest.raises(ValueError, match="empty Wasserstein"):
         _demo(risk=Wasserstein(0.5, ground_cost=bad_cost))
+
+
+def test_chunked_solve_matches_plain(demo_result):
+    """chunk_iters bounds each device execution and resumes from the
+    device-resident iterate: the chunked solve must reproduce the plain
+    solve exactly — same 937 iterations, same residual history, same
+    iterates (chunk boundaries land on residual checks)."""
+    problem, solver, plain = demo_result
+    _, x0 = demo_problem()
+    chunked = solver.solve(x0, max_iters=2000, tol=1e-3, chunk_iters=300)
+    assert chunked.converged and chunked.num_iters == plain.num_iters
+    np.testing.assert_allclose(chunked.xi_history, plain.xi_history,
+                               atol=1e-12)
+    for a, b in zip(chunked.primal, plain.primal):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-12)
