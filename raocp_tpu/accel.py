@@ -142,12 +142,24 @@ def _residual_row(sp, W, T, alpha):
 @partial(jax.jit, static_argnames=("max_iters", "memory", "check_every"))
 @_precision
 def run_cp_anderson(sp: StackedProblem, z0, eta0, x0, alpha, tol,
-                    max_iters: int, memory: int = 5, theta: float = 0.9,
+                    max_iters: int, memory: int = 5, theta: float = 1.0,
                     reg: float = 1e-10, check_every: int = 1):
     """Safeguarded Anderson-accelerated CP. Returns
     (z, eta, iters, t_evals, err, hist) with hist rows
     [xi_0, xi_1, xi_2, delta_0, delta_1, delta_2] (NaN between strided
-    checks)."""
+    checks).
+
+    ``theta`` is the safeguard: accept the Anderson candidate iff its
+    fixed-point residual satisfies ||r_cand|| <= theta * ||r||. The CP map
+    is (quasi-)NONEXPANSIVE, contracting ~1e-4 per step near convergence,
+    so demanding strict contraction rejects nearly every candidate — the
+    old default 0.9 measured 2.0 T-evals/iteration (every candidate
+    rejected and re-evaluated) and only a 13% iteration cut on the
+    9,841-node benchmark. theta = 1.0 (accept when not worse) measured
+    1.04 evals/iteration and a 40% cut (10,175 -> 6,150 iterations,
+    BENCH_accel_r04.jsonl) while the monotone-residual safeguard still
+    rules out divergence.
+    """
     dt = sp.dtype
     z0, eta0 = Primal(*z0), Dual(*eta0)
     W0 = (z0, eta0, ell(sp, z0), ell_t(sp, eta0))

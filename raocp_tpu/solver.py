@@ -527,9 +527,15 @@ class Solver:
         :param relax: over-relaxation factor rho in (0, 2) (Condat 2013):
             each iterate is (1 - rho) z + rho z~ where z~ is the proximal
             step. 1.0 (default) is plain CP, iteration-for-iteration
-            identical to the reference; rho ~ 1.8 typically cuts the
-            iteration count by ~1/3 at no extra per-step cost (the carried
-            operator images relax linearly — no additional L/L' applies).
+            identical to the reference; rho = 1.8 cuts the iteration count
+            ~40% (measured: 10,175 -> 6,150 on the 9,841-node/50-state
+            benchmark). No additional operator applies — the carried
+            images relax linearly — but the four relaxation AXPYS are NOT
+            free on a bandwidth-bound iteration: measured per-iteration
+            throughput drops ~31% (3,127 -> 2,146 iter/s on that
+            benchmark), for a net ~12% time-to-tolerance win
+            (BENCH_accel_r04.jsonl). Worth it for long solves; skip it
+            when per-iteration speed is what you are measuring.
             Note rho is a STATIC jit argument (keeps the plain-CP program
             free of the four relaxation axpys): every distinct value
             recompiles the loop — minutes on a tunnelled TPU backend, so
