@@ -79,6 +79,10 @@ def main():
     ap.add_argument("--small", action="store_true",
                     help="CI-sized versions of every config")
     ap.add_argument("--configs", default="1,2,3,4,5")
+    ap.add_argument("--relax", type=float, default=1.0,
+                    help="over-relaxation for the config-5 per-step solves "
+                         "(1.8 measured ~40%% fewer iterations; see "
+                         "BENCH_relax_r04.jsonl)")
     args = ap.parse_args()
     which = {int(c) for c in args.configs.split(",")}
 
@@ -146,7 +150,8 @@ def main():
                              max_iters=20000, tol=1e-3,
                              check_every=1 if small else 25,
                              unroll=1 if small else 5,
-                             chunk_iters=None if small else 2500)
+                             chunk_iters=None if small else 2500,
+                             relax=args.relax)
         wall = time.perf_counter() - t0
         print(json.dumps({
             "config": "5_mpc_closed_loop_1e5",
@@ -155,6 +160,7 @@ def main():
             "mpc_steps": len(run.states) - 1,
             "iterations_per_step": [int(k) for k in run.iterations],
             "wall_s": round(wall, 2),
+            "relax": args.relax,
         }), flush=True)
 
 

@@ -235,3 +235,22 @@ def test_subtree_accel_and_batch_rejected(uniform):
         solver.solve(x0, max_iters=10, accel="anderson")
     with pytest.raises(ValueError):
         solver.solve_batch(np.stack([np.asarray(x0)] * 2), max_iters=10)
+
+
+def test_subtree_with_soc_risk_and_wasserstein():
+    """Risks with optional stacked fields (L2Ball: SOC row masks;
+    Wasserstein: wide transport-plan y rows) must ride the subtree
+    partition's spec/sharding plumbing and keep solve parity."""
+    from raocp_tpu import L2Ball, Wasserstein
+
+    mesh = make_mesh(num_devices=8)
+    for risk in (L2Ball(0.3), Wasserstein(0.4)):
+        problem, x0 = demo_problem(risk=risk)
+        sub = Solver(problem, mesh=mesh)
+        assert sub.subtree is not None
+        res = sub.solve(x0, max_iters=2500, tol=1e-3)
+        single = Solver(problem).solve(x0, max_iters=2500, tol=1e-3)
+        assert res.num_iters == single.num_iters, type(risk).__name__
+        for a, b in zip(jax.tree_util.tree_leaves(res.primal),
+                        jax.tree_util.tree_leaves(single.primal)):
+            np.testing.assert_allclose(a, b, atol=1e-10)
