@@ -482,7 +482,8 @@ class Solver:
               step_ratio: float = 1.0,
               adaptive: bool = False,
               relax: float = 1.0,
-              chunk_iters: Optional[int] = None) -> SolverResult:
+              chunk_iters: Optional[int] = None,
+              checkpoint_on_fault: Optional[str] = None) -> SolverResult:
         """Run Chambolle-Pock with the given initial state.
 
         :param alpha: overrides the 0.999/lambda_max(L'L) step rule
@@ -551,7 +552,17 @@ class Solver:
             dispatch, and a preemption or transport hiccup then kills the
             whole solve; chunking bounds the blast radius to one chunk.
             Plain CP only; with ``adaptive`` the rebalance state restarts
-            at each chunk boundary.
+            at each chunk boundary. ELASTIC RECOVERY: each completed
+            chunk's iterate is snapshotted to host memory; a device fault
+            (``JaxRuntimeError``) mid-chunk triggers ONE retry from the
+            last snapshot (transient faults — preemption on shared
+            hardware — cost one repeated chunk of identical math).
+        :param checkpoint_on_fault: with ``chunk_iters``, a path: if the
+            retry also fails (backend wedged), the last good iterate and
+            iteration count are written there before re-raising — a fresh
+            process resumes via ``solve(warm_start=
+            SolverResult.load_checkpoint(path)[:2])``. The reference has
+            no failure handling of any kind (SURVEY §5).
         """
         sp = self.__stacked
         x0_np = np.asarray(initial_state, dtype=np.float64).reshape(-1)
@@ -602,18 +613,52 @@ class Solver:
                 zc, ec = z0, eta0
                 iters = 0
                 hists = []
+                # host snapshot of the last GOOD iterate: device arrays do
+                # not survive a device fault, so recovery resumes from here
+                tmap_np = partial(jax.tree_util.tree_map, np.asarray)
+                snap = (tmap_np(z0), tmap_np(eta0), 0)
+                retried = False
                 # constant per-chunk budget: a shrunken final chunk would
                 # recompile the loop (max_iters is static) — minutes on a
                 # tunnelled backend — so the max_iters cap rounds up to a
                 # chunk multiple instead
                 while True:
-                    z, eta, it, err, hist = _run_cp(
-                        sp, tuple(zc), tuple(ec), x0, a1, a2, tolj,
-                        int(chunk_iters), log_every, check_every, unroll,
-                        adaptive, float(relax))
-                    it = int(it)
+                    try:
+                        z, eta, it, err, hist = _run_cp(
+                            sp, tuple(zc), tuple(ec), x0, a1, a2, tolj,
+                            int(chunk_iters), log_every, check_every,
+                            unroll, adaptive, float(relax))
+                        it = int(it)          # forces chunk completion
+                        hist_np = np.asarray(hist[:it])
+                    except jax.errors.JaxRuntimeError as e:
+                        if not retried:
+                            # transient device fault (preemption on shared
+                            # hardware): redo this one chunk from the last
+                            # good host snapshot — identical math (the
+                            # failed chunk's history was never appended,
+                            # so hists already matches the snapshot)
+                            retried = True
+                            zc, ec, iters = snap
+                            continue
+                        if checkpoint_on_fault is not None:
+                            zs, es, ks = snap
+                            primal = {f"primal_{k}": np.asarray(v) for k, v
+                                      in Primal(*zs)._asdict().items()}
+                            dual = {f"dual_{k}": np.asarray(v) for k, v
+                                    in Dual(*es)._asdict().items()}
+                            np.savez(checkpoint_on_fault,
+                                     num_iters=ks, **primal, **dual)
+                            raise RuntimeError(
+                                f"device fault persisted after retry; last "
+                                f"good iterate (iteration {ks}) saved to "
+                                f"{checkpoint_on_fault} — resume via "
+                                "solve(warm_start=SolverResult."
+                                "load_checkpoint(path)[:2])") from e
+                        raise
+                    retried = False
                     iters += it
-                    hists.append(np.asarray(hist[:it]))
+                    hists.append(hist_np)
+                    snap = (tmap_np(z), tmap_np(eta), iters)
                     if (float(np.asarray(err).max()) <= tol
                             or iters >= max_iters or it == 0):
                         break

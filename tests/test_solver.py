@@ -397,3 +397,53 @@ def test_chunked_solve_matches_plain(demo_result):
     for a, b in zip(chunked.primal, plain.primal):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    atol=1e-12)
+
+
+def test_chunked_solve_elastic_recovery(demo_result, monkeypatch, tmp_path):
+    """Elastic recovery of chunked solves: a transient device fault
+    mid-chunk is retried from the last host snapshot with identical
+    results; a persistent fault writes a resume checkpoint."""
+    import jax
+
+    import raocp_tpu.solver as solver_mod
+
+    problem, solver, plain = demo_result
+    _, x0 = demo_problem()
+    real_run = solver_mod._run_cp
+    calls = {"n": 0}
+
+    def flaky_run(*args, **kwargs):
+        calls["n"] += 1
+        if calls["n"] == 2:      # fault during the second chunk
+            raise jax.errors.JaxRuntimeError("injected device fault")
+        return real_run(*args, **kwargs)
+
+    monkeypatch.setattr(solver_mod, "_run_cp", flaky_run)
+    res = solver.solve(x0, max_iters=2000, tol=1e-3, chunk_iters=300)
+    assert res.converged and res.num_iters == plain.num_iters
+    np.testing.assert_allclose(res.xi_history, plain.xi_history, atol=1e-12)
+    for a, b in zip(res.primal, plain.primal):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-12)
+
+    # persistent fault: every call after the first chunk fails
+    calls["n"] = 0
+
+    def dead_run(*args, **kwargs):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise jax.errors.JaxRuntimeError("injected persistent fault")
+        return real_run(*args, **kwargs)
+
+    monkeypatch.setattr(solver_mod, "_run_cp", dead_run)
+    ckpt = str(tmp_path / "fault.npz")
+    with pytest.raises(RuntimeError, match="saved to"):
+        solver.solve(x0, max_iters=2000, tol=1e-3, chunk_iters=300,
+                     checkpoint_on_fault=ckpt)
+    # the checkpoint resumes through the standard warm-start machinery
+    z, eta, k = solver_mod.SolverResult.load_checkpoint(ckpt)
+    assert k == 301        # a 300-chunk runs 301 reference-semantics steps
+    monkeypatch.setattr(solver_mod, "_run_cp", real_run)
+    resumed = solver.solve(x0, max_iters=2000, tol=1e-3,
+                           warm_start=(z, eta))
+    assert resumed.converged
+    assert resumed.num_iters + k <= plain.num_iters + 2
