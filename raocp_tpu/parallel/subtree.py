@@ -73,12 +73,30 @@ _FILLS = {"nl_lo": -np.inf, "nl_hi": np.inf, "nl_ball_r": np.inf,
           "l_lo": -np.inf, "l_hi": np.inf, "l_ball_r": np.inf}
 
 
-def _frontier_candidates(sp: StackedProblem):
+def _stage_structure(obj):
+    """(num_stages, stage_start, stage_child) from either a built
+    StackedProblem or a bare ScenarioTree — frontier eligibility is a pure
+    function of the stage structure, so Solver can decide the partition
+    BEFORE paying for a stacked build (the offline Riccati/kernel
+    factorisations dominate build time at production scale)."""
+    if hasattr(obj, "stage_child"):              # StackedProblem
+        return obj.num_stages, obj.stage_start, obj.stage_child
+    tree = obj.tree if hasattr(obj, "tree") else obj   # RAOCP spec or tree
+    ss = tuple(int(v) for v in tree.stage_start)
+    cc = tree.child_count
+    sc = []
+    for k in range(tree.num_stages - 1):
+        counts = cc[ss[k]:ss[k + 1]]
+        sc.append(int(counts[0]) if len(counts)
+                  and (counts == counts[0]).all() else None)
+    return tree.num_stages, ss, tuple(sc)
+
+
+def _frontier_candidates(obj):
     """Stages f such that branching is uniform from stage f-1 down (the
     position arithmetic of the padded forest needs it); spine stages above
     may be arbitrarily ragged."""
-    ns = sp.num_stages
-    sc = sp.stage_child
+    ns, _, sc = _stage_structure(obj)
     ok_from = ns - 1                     # smallest j with sc[j:] all uniform
     for j in range(ns - 2, -1, -1):
         if sc[j] is None:
@@ -87,26 +105,27 @@ def _frontier_candidates(sp: StackedProblem):
     return [f for f in range(1, ns) if f - 1 >= ok_from]
 
 
-def subtree_eligible(sp: StackedProblem) -> bool:
-    return bool(_frontier_candidates(sp))
+def subtree_eligible(obj) -> bool:
+    """True when the tree (or built problem) admits a subtree frontier."""
+    return bool(_frontier_candidates(obj))
 
 
-def choose_frontier(sp: StackedProblem, num_devices: int) -> Optional[int]:
+def choose_frontier(obj, num_devices: int) -> Optional[int]:
     """The frontier minimising total per-device work: replicated spine
     nodes + the padded subtree forest's share. Early frontiers shrink the
     spine; later ones shrink ghost padding — this cost model balances
-    them. None when no stage admits a uniform-branching frontier."""
-    ns = sp.num_stages
-    ss = sp.stage_start
+    them. None when no stage admits a uniform-branching frontier.
+    Accepts a StackedProblem, a ScenarioTree, or an RAOCP spec."""
+    ns, ss, sc = _stage_structure(obj)
     widths = [ss[k + 1] - ss[k] for k in range(ns)]
     total = sum(widths)
     best, best_cost = None, None
-    for f in _frontier_candidates(sp):
+    for f in _frontier_candidates(obj):
         W = -(-widths[f] // num_devices) * num_devices
         padded = 0
         for k in range(f, ns):
             if k > f:
-                W = W * sp.stage_child[k - 1]
+                W = W * sc[k - 1]
             padded += W
         cost = (num_devices * sum(widths[:f]) + padded) / total
         if best is None or cost < best_cost - 1e-12:
@@ -246,15 +265,21 @@ class SubtreeProblem:
 
     def run_cp(self, z0, eta0, x0, alpha1, alpha2, tol, max_iters: int,
                check_every: int = 1, unroll: int = 1,
-               adaptive: bool = False, relax: float = 1.0):
+               adaptive: bool = False, relax: float = 1.0,
+               log_every=None):
         """The full production CP loop under shard_map. Accepts/returns
-        iterates in the [D * local, ...] block layout."""
-        key = ("run", max_iters, check_every, unroll, adaptive, relax)
+        iterates in the [D * local, ...] block layout. ``log_every``
+        prints residuals from inside the loop via ``jax.debug.callback``
+        (supported under shard_map); the logged err values are the
+        post-pmax global max-norms, identical on every device, so only
+        device 0's callback prints."""
+        key = ("run", max_iters, check_every, unroll, adaptive, relax,
+               log_every)
         if key not in self._cache:
             from raocp_tpu.solver import _run_cp
-            body = partial(_run_cp, max_iters=max_iters, log_every=None,
-                           check_every=check_every, unroll=unroll,
-                           adaptive=adaptive, relax=relax)
+            body = partial(_run_cp, max_iters=max_iters,
+                           log_every=log_every, check_every=check_every,
+                           unroll=unroll, adaptive=adaptive, relax=relax)
             self._cache[key] = jax.jit(jax.shard_map(
                 body, mesh=self.mesh,
                 in_specs=(self.in_spec, self._primal_spec(),

