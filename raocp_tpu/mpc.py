@@ -150,7 +150,7 @@ class RiskAverseMPC:
             initial_mode: Optional[int] = None, seed: int = 0,
             max_iters: int = 5000, tol: float = 1e-3,
             warm_start: bool = True, check_every: int = 1,
-            unroll: int = 1, relax: float = 1.0,
+            unroll: int = 1, relax="auto",
             step_ratio: float = 1.0,
             adaptive: bool = False,
             chunk_iters: Optional[int] = None) -> ClosedLoopResult:
@@ -164,6 +164,12 @@ class RiskAverseMPC:
         ``relax``/``step_ratio``/``adaptive`` are the iteration-count
         cutters of :meth:`Solver.solve` (Condat over-relaxation, step
         balancing, adaptive PDHG), forwarded to every per-step solve.
+        ``relax`` defaults to ``"auto"`` (rho = 1.8): MPC runs are exactly
+        the long repeated solves where over-relaxation's ~40% iteration
+        cut beats its per-iteration axpy cost — measured 1.9x on the
+        1e5-node closed loop (2278 s -> 1196 s, BENCH_configs_r04.jsonl)
+        and never slower on any BASELINE config (BENCH_relax_r04.jsonl).
+        Pass ``relax=1.0`` for reference-parity iterations.
         """
         rng = np.random.default_rng(seed)
         x = np.asarray(initial_state, dtype=np.float64).reshape(-1)

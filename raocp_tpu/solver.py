@@ -307,6 +307,25 @@ def _write_iterate_npz(z_np, eta_np, num_iters, path):
     np.savez(path, num_iters=num_iters, **primal, **dual)
 
 
+# 'auto' over-relaxation: rho = 1.8 cut time-to-tolerance on EVERY
+# measured BASELINE config (config 2: 0.041 vs 0.044 s; config 3: 0.69 vs
+# 1.00 s; config 5 closed loop: 1196 vs 2278 s — BENCH_relax_r04.jsonl,
+# BENCH_configs_r04.jsonl) and Condat's convergence guarantee covers any
+# rho in (0, 2) under the same step rule, so long-solve paths (MPC)
+# default to it. Plain solve() keeps relax=1.0 so the DEFAULT solver is
+# iteration-for-iteration identical to the reference (the 937-parity
+# invariant).
+_AUTO_RELAX = 1.8
+
+
+def _resolve_relax(relax) -> float:
+    if isinstance(relax, str):
+        if relax != "auto":
+            raise ValueError(f"unknown relax '{relax}' (float or 'auto')")
+        return _AUTO_RELAX
+    return float(relax)
+
+
 def _log_residuals(k, err):
     print(f"[raocp_tpu] iter {int(k):>7d}  "
           f"xi_0={float(err[0]):.3e} xi_1={float(err[1]):.3e} "
@@ -616,7 +635,10 @@ class Solver:
             convergent version of hand-tuning ``step_ratio``. The returned
             ``alpha`` is the initial step. Plain CP only (ignored under
             ``accel``).
-        :param relax: over-relaxation factor rho in (0, 2) (Condat 2013):
+        :param relax: over-relaxation factor rho in (0, 2) (Condat 2013),
+            or ``"auto"`` for the measured-win long-solve default (1.8 —
+            faster time-to-tolerance on every BASELINE config sweep;
+            the MPC path defaults to it):
             each iterate is (1 - rho) z + rho z~ where z~ is the proximal
             step. 1.0 (default) is plain CP, iteration-for-iteration
             identical to the reference; rho = 1.8 cuts the iteration count
@@ -656,6 +678,7 @@ class Solver:
             no failure handling of any kind (SURVEY §5).
         """
         sp = self.__stacked
+        relax = _resolve_relax(relax)
         x0_np = np.asarray(initial_state, dtype=np.float64).reshape(-1)
         x0 = jnp.asarray(x0_np, dtype=sp.dtype)
         if x0.shape != (sp.n,):
@@ -881,6 +904,7 @@ class Solver:
             raise ValueError(
                 f"initial_states must be [batch, {sp.n}], got {x0s.shape}")
         batch = x0s.shape[0]
+        relax = _resolve_relax(relax)
         if alpha is None:
             alpha = 0.999 / self.operator_norm_sq()
         if step_ratio <= 0.0:

@@ -79,10 +79,12 @@ def main():
     ap.add_argument("--small", action="store_true",
                     help="CI-sized versions of every config")
     ap.add_argument("--configs", default="1,2,3,4,5")
-    ap.add_argument("--relax", type=float, default=1.0,
-                    help="over-relaxation for the config-5 per-step solves "
-                         "(1.8 measured ~40%% fewer iterations; see "
-                         "BENCH_relax_r04.jsonl)")
+    ap.add_argument("--relax", default="auto",
+                    help="over-relaxation for the config-5 per-step solves; "
+                         "'auto' (the RiskAverseMPC default) resolves to "
+                         "the measured-win 1.8 — no hand-set knob (see "
+                         "BENCH_relax_r04.jsonl); pass 1.0 for "
+                         "reference-parity iterations")
     args = ap.parse_args()
     which = {int(c) for c in args.configs.split(",")}
 
@@ -151,7 +153,8 @@ def main():
                              check_every=1 if small else 25,
                              unroll=1 if small else 5,
                              chunk_iters=None if small else 2500,
-                             relax=args.relax)
+                             relax=("auto" if args.relax == "auto"
+                                    else float(args.relax)))
         wall = time.perf_counter() - t0
         print(json.dumps({
             "config": "5_mpc_closed_loop_1e5",

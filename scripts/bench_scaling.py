@@ -41,6 +41,11 @@ def main():
     ap.add_argument("--num-stages", type=int, default=8)
     ap.add_argument("--num-states", type=int, default=50)
     ap.add_argument("--partitions", default="subtree,flat")
+    ap.add_argument("--flat-max", type=int, default=None,
+                    help="run the flat partition only up to this many "
+                    "devices (its resharding traffic makes large-device "
+                    "runs at 1e4+ nodes prohibitively slow; the 1-device "
+                    "flat row is the partition-free baseline)")
     args = ap.parse_args()
 
     if args.virtual:
@@ -105,7 +110,8 @@ def main():
 
     for nd in sizes:
         mesh = make_mesh(num_devices=nd)
-        if "flat" in partitions:
+        if "flat" in partitions and (args.flat_max is None
+                                     or nd <= args.flat_max):
             sp = build_stacked(problem, dtype=jnp.float32, pad_multiple=nd,
                                offline="device")
             sp = shard_problem(sp, mesh)

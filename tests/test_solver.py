@@ -383,6 +383,30 @@ def test_wasserstein_empty_ball_rejected():
         _demo(risk=Wasserstein(0.5, ground_cost=bad_cost))
 
 
+def test_relax_auto_resolves(demo_result):
+    """relax='auto' resolves to the measured-win 1.8 (identical program);
+    unknown strings are rejected. The DEFAULT stays 1.0 — reference
+    parity (the 937 gate above) — while long-solve paths (MPC) default
+    to 'auto'."""
+    import inspect
+
+    from raocp_tpu.mpc import RiskAverseMPC
+    from raocp_tpu.solver import _AUTO_RELAX
+
+    problem, solver, _ = demo_result
+    _, x0 = demo_problem()
+    auto = solver.solve(x0, max_iters=2000, tol=1e-3, relax="auto")
+    explicit = solver.solve(x0, max_iters=2000, tol=1e-3,
+                            relax=_AUTO_RELAX)
+    assert auto.num_iters == explicit.num_iters
+    np.testing.assert_allclose(auto.xi_history, explicit.xi_history,
+                               atol=0.0)
+    with pytest.raises(ValueError, match="unknown relax"):
+        solver.solve(x0, max_iters=10, relax="fast")
+    assert inspect.signature(RiskAverseMPC.run).parameters["relax"] \
+        .default == "auto"
+
+
 def test_chunked_solve_matches_plain(demo_result):
     """chunk_iters bounds each device execution and resumes from the
     device-resident iterate: the chunked solve must reproduce the plain
