@@ -18,10 +18,15 @@ import os
 import time
 
 
-BENCH_ITERS = 2000   # long enough that the per-call constant (~90 ms of
-                     # host->device iterate transfer + dispatch through the
-                     # tunnelled backend) is <3% of the run: 200 iterations
-                     # measured call overhead, not loop throughput
+BENCH_ITERS = 20000  # solve-scale: the production solve of this config
+                     # runs ~10k iterations, and the per-call constant of
+                     # the tunnelled backend (~90 ms of host->device
+                     # iterate transfer + dispatch) must amortise below
+                     # ~1.5% to time the LOOP. The 2,000-iteration runs of
+                     # rounds 3-4 still carried ~14% of it (90 ms against
+                     # a 640 ms loop) — the whole "regression" between
+                     # BENCH_r03's steady-state 3,143 and BENCH_r04's
+                     # 2,739 was this constant, not the loop.
 
 
 def _enable_compile_cache() -> None:

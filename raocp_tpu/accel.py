@@ -252,8 +252,8 @@ def run_cp_anderson(sp: StackedProblem, z0, eta0, x0, alpha, tol,
                                    "check_every"))
 @_precision
 def run_cp_supermann(sp: StackedProblem, z0, eta0, x0, alpha, tol,
-                     max_iters: int, memory: int = 10, ls_max: int = 1,
-                     c0: float = 0.99, c1: float = 0.99, q_eps: float = 0.95,
+                     max_iters: int, memory: int = 5, ls_max: int = 1,
+                     c0: float = 0.99, c1: float = 1.0, q_eps: float = 0.95,
                      beta: float = 0.5, check_every: int = 1):
     """SuperMann-style globalised quasi-Newton acceleration of the CP
     fixed point with limited-memory (type-I) Broyden directions.
@@ -272,11 +272,24 @@ def run_cp_supermann(sp: StackedProblem, z0, eta0, x0, alpha, tol,
     * **K0 (blind)**: while the residual keeps linearly decreasing
       (``|R w| <= c0 * eta_safe``), take the full quasi-Newton step.
     * **K1 (educated)**: otherwise backtrack ``tau`` until the candidate
-      contracts the residual (``|R w_c| <= c1 |R w|``).
+      does not worsen the residual (``|R w_c| <= c1 |R w|``).
     * **Fallback**: if the line search fails, take the plain CP step
       ``w+ = T(w)`` — so the safeguarded iteration inherits plain CP's
       convergence (the reference algorithm without acceleration,
       reference ``solver.py:124-161``).
+
+    ``c1`` defaults to 1.0 ("accept when not worse") for the same measured
+    reason Anderson's safeguard moved to theta = 1.0 in round 4: the CP
+    map contracts ~1e-4 per step near convergence, so demanding a strict
+    0.99 contraction per accepted candidate rejects nearly everything —
+    the round-4 artifact shows 1.94 T-evals/iteration (every K1 candidate
+    evaluated AND discarded for a plain step) and 11,150 iterations on
+    the headline config (BENCH_accel_r04.jsonl). Not-worse acceptance
+    plus the r_safe + summable-eps monotonicity envelope still rules out
+    divergence. ``memory`` defaults to 5: each history row is a FULL
+    extended vector, and the direction apply + Broyden push cost ~2 x
+    memory passes over it per iteration — on a bandwidth-bound iteration
+    the memory-10 histories alone tripled the per-step byte traffic.
 
     The hyperplane-projection (K2/GKM) update of full SuperMann is omitted
     deliberately: it is only Fejér-monotone in the CP preconditioner metric,
