@@ -449,6 +449,22 @@ def test_chunked_solve_elastic_recovery(demo_result, monkeypatch, tmp_path):
     for a, b in zip(res.primal, plain.primal):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-12)
 
+    # fault during the FIRST chunk: recovery restarts from the initial
+    # iterate snapshot (taken before any device work), identical results
+    calls["n"] = 0
+
+    def flaky_first(*args, **kwargs):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise jax.errors.JaxRuntimeError("injected first-chunk fault")
+        return real_run(*args, **kwargs)
+
+    monkeypatch.setattr(solver_mod, "_run_cp", flaky_first)
+    res1 = solver.solve(x0, max_iters=2000, tol=1e-3, chunk_iters=300)
+    assert res1.converged and res1.num_iters == plain.num_iters
+    np.testing.assert_allclose(res1.xi_history, plain.xi_history,
+                               atol=1e-12)
+
     # persistent fault: every call after the first chunk fails
     calls["n"] = 0
 
