@@ -109,6 +109,23 @@ def test_validate_solution(demo_result):
     assert v["constraints"] < 1e-2
 
 
+def test_validate_flags_infeasible_point(demo_result):
+    """validate must DETECT violations, not just pass good solutions: a
+    corrupted primal trips all three checks (the spec-oracle spot check
+    covers the constraint path independently of the stacked tables)."""
+    import dataclasses as dc
+
+    _, solver, result = demo_result
+    bad_primal = result.primal._replace(
+        x=np.asarray(result.primal.x) + 100.0)
+    bad = dc.replace(result, primal=bad_primal)
+    v = solver.validate(bad)
+    assert v["dynamics"] > 1.0
+    assert v["constraints"] > 1.0
+    # the setup plan is cached per solver: second call reuses it
+    assert solver._validate_plan() is solver._validate_plan()
+
+
 def test_anderson_acceleration_converges_faster():
     """Safeguarded Anderson acceleration (BASELINE config 4's accelerated
     iterations): converges to the same solution in fewer iterations."""
