@@ -39,12 +39,20 @@ def _cone_components(cone):
     return [cone]
 
 
-def epigraph_nlp_solve(spec, x_hat, gtol=1e-10, xtol=1e-12):
+def epigraph_nlp_solve(spec, x_hat, gtol=1e-10, xtol=1e-12,
+                       eval_primal=None):
     """Solve the RAOCP epigraph program with scipy's trust-constr.
 
     Returns (objective, x [N, n], u [NL, m]). Supports Rectangle / No
     constraints and risks whose cones are products of Real / Zero /
     NonnegativeOrthant / SecondOrderCone components (AVaR, TV, L2Ball...).
+
+    ``eval_primal``: a solver ``Primal`` — skip the solve and instead
+    evaluate THIS point against the oracle's own constraint system,
+    returning (objective, max_equality_violation,
+    max_inequality_violation). Used to adjudicate objective disagreements:
+    if the CP point is feasible here with a lower objective, the NLP
+    terminated suboptimally, not the CP solve.
     """
     tree = spec.tree
     N, NL = tree.num_nodes, tree.num_nonleaf_nodes
@@ -245,6 +253,26 @@ def epigraph_nlp_solve(spec, x_hat, gtol=1e-10, xtol=1e-12):
     constraints.append(sopt.NonlinearConstraint(
         c_fun, -np.inf, 0.0, jac=c_jac))
 
+    if eval_primal is not None:
+        v = np.zeros(nv)
+        v[ox:ox + N * n] = np.asarray(eval_primal.x)[:N].reshape(-1)
+        v[ou:ou + NL * m] = np.asarray(eval_primal.u)[:NL].reshape(-1)
+        y_flat = np.asarray(eval_primal.y)
+        for i in range(NL):
+            v[yi(i)] = y_flat[i, :y_dim[i]]
+        v[ot:ot + N] = np.asarray(eval_primal.tau)[:N]
+        v[os_:os_ + N] = np.asarray(eval_primal.s)[:N]
+        A_eq = np.asarray(rows_eq)
+        eq_viol = float(np.abs(A_eq @ v - np.asarray(lb_eq)).max())
+        in_viol = 0.0
+        if rows_in:
+            img = np.asarray(rows_in) @ v
+            in_viol = float(np.maximum(
+                np.maximum(np.asarray(lo_in) - img,
+                           img - np.asarray(hi_in)), 0.0).max())
+        in_viol = max(in_viol, float(np.maximum(c_fun(v), 0.0).max()))
+        return float(v[os_ + 0]), eq_viol, in_viol
+
     grad = np.zeros(nv)
     grad[os_ + 0] = 1.0
     res = sopt.minimize(
@@ -260,29 +288,59 @@ def epigraph_nlp_solve(spec, x_hat, gtol=1e-10, xtol=1e-12):
             v[ou:ou + NL * m].reshape(NL, m))
 
 
-@pytest.mark.parametrize("make", [
-    pytest.param(lambda: lqr_binary_problem(), id="lqr-15-node"),
-    pytest.param(lambda: demo_problem(), id="demo-32-node"),
+def _demo_tv():
+    from raocp_tpu import TotalVariation
+    return demo_problem(risk=TotalVariation(0.5))
+
+
+# L2Ball (SOC ambiguity) is deliberately absent: its SOC membership rows
+# push scipy's trust-constr past its evaluation budget at this size; the
+# SOC-risk path is cross-checked by the dedicated SOCP oracle in
+# tests/test_risks.py instead.
+@pytest.mark.parametrize("make,cp_tol,obj_tol", [
+    pytest.param(lambda: lqr_binary_problem(), 1e-6, 2e-5,
+                 id="lqr-15-node"),
+    pytest.param(lambda: demo_problem(), 1e-6, 2e-5, id="demo-32-node"),
+    # the TV epigraph is harder for BOTH solvers: CP's first-order path
+    # reaches xi ~ 3e-6 at 80k iterations and trust-constr terminates on
+    # xtol ~3e-5 from the optimum — the agreement band is widened to
+    # cover the NLP side's termination, still 2.5e-5 RELATIVE agreement
+    # between two fully independent solvers
+    pytest.param(_demo_tv, 5e-6, 1e-4, id="demo-32-node-total-variation"),
 ])
-def test_full_solve_matches_independent_nlp(make):
+def test_full_solve_matches_independent_nlp(make, cp_tol, obj_tol):
+    # NLP termination slop propagates into the trajectories (~6e-4 on the
+    # TV case, adjudicated below as the NLP side's, not CP's)
+    traj_tol = max(2e-4, 10.0 * obj_tol)
     """The CP solution's objective (root epigraph value s_0) and state /
     input trajectories must match scipy's interior-point solve of the
     same epigraph program to ~1e-5 — the full-solve analogue of the
     reference's cvxpy cross-checks (test_cache.py:111-209)."""
     problem, x0 = make()
-    # tol 1e-6 (three decades past the reference experiment's 1e-3) with
+    # ~1e-6 (three decades past the reference experiment's 1e-3) with
     # the auto over-relaxation: tight enough that the CP iterate error is
     # well inside the 2e-5 comparison band, loose enough that first-order
     # CP reaches it in ~30k iterations on the demo config
-    res = Solver(problem).solve(x0, max_iters=80000, tol=1e-6,
+    res = Solver(problem).solve(x0, max_iters=80000, tol=cp_tol,
                                 check_every=25, unroll=25, relax="auto")
     assert res.converged
     obj, x, u = epigraph_nlp_solve(problem, np.asarray(x0))
-    assert obj == pytest.approx(res.objective, abs=2e-5, rel=2e-5)
+    assert obj == pytest.approx(res.objective, abs=obj_tol, rel=obj_tol)
     np.testing.assert_allclose(np.asarray(res.primal.x)[:x.shape[0]], x,
-                               atol=2e-4)
+                               atol=traj_tol)
     # deep-stage inputs are near-flat directions of the objective (their
     # stage costs carry probability weights ~1e-2 against R = 0.1 I), so
     # the two solvers agree on them an order looser than on the states
     np.testing.assert_allclose(np.asarray(res.primal.u)[:u.shape[0]], u,
-                               atol=1e-3)
+                               atol=max(1e-3, 50.0 * obj_tol))
+    # adjudication: the CP point must be (near-)FEASIBLE in the oracle's
+    # own constraint system — this catches a formulation drift between
+    # the two solvers that a loose objective band could hide — and its
+    # objective may undercut the NLP's only by what that infeasibility
+    # can buy (first-order slack)
+    cp_obj, eq_viol, in_viol = epigraph_nlp_solve(
+        problem, np.asarray(x0), eval_primal=res.primal)
+    assert cp_obj == pytest.approx(res.objective, abs=1e-12)
+    assert eq_viol < 20.0 * cp_tol
+    assert in_viol < 100.0 * cp_tol
+    assert cp_obj >= obj - obj_tol - 10.0 * in_viol
