@@ -107,3 +107,11 @@ def test_closed_loop_on_mesh_matches_single_device():
     np.testing.assert_array_equal(run_sh.modes, run_1.modes)
     np.testing.assert_allclose(run_sh.states, run_1.states, atol=1e-9)
     np.testing.assert_allclose(run_sh.inputs, run_1.inputs, atol=1e-9)
+
+    # the production deployment shape: mesh-partitioned MPC with chunked
+    # per-step solves (RiskAverseMPC forwards chunk_iters; round 4
+    # silently dropped it on this path) — identical closed loop
+    run_ck = sharded.run(x0, chunk_iters=500, **kw)
+    np.testing.assert_array_equal(run_ck.iterations, run_sh.iterations)
+    np.testing.assert_allclose(run_ck.states, run_sh.states, atol=1e-9)
+    np.testing.assert_allclose(run_ck.inputs, run_sh.inputs, atol=1e-9)
