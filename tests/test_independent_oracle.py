@@ -307,6 +307,11 @@ def _demo_tv():
     # cover the NLP side's termination, still 2.5e-5 RELATIVE agreement
     # between two fully independent solvers
     pytest.param(_demo_tv, 5e-6, 1e-4, id="demo-32-node-total-variation"),
+    # ragged-everywhere tree (no post-stopping chain): the oracle builder
+    # is tree-shape-agnostic, so this also cross-checks the solver's
+    # ragged gather/select paths (measured agreement ~4e-7)
+    pytest.param(lambda: demo_problem(num_stages=3, stopping_time=3),
+                 1e-6, 2e-5, id="demo-27-node-ragged"),
 ])
 def test_full_solve_matches_independent_nlp(make, cp_tol, obj_tol):
     # NLP termination slop propagates into the trajectories (~6e-4 on the
