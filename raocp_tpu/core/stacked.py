@@ -900,15 +900,10 @@ def build_stacked(spec: RAOCP, dtype=None,
         return jnp.asarray(x, dtype=dt)
 
     stage_start = tuple(int(v) for v in tree.stage_start)
-    # uniform child count per nonleaf stage (None where ragged)
-    cc = tree.child_count
-    stage_child = []
-    for k in range(tree.num_stages - 1):
-        a, b = stage_start[k], stage_start[k + 1]
-        counts = cc[a:b]
-        stage_child.append(int(counts[0]) if len(counts) and
-                           (counts == counts[0]).all() else None)
-    stage_child = tuple(stage_child)
+    # uniform child count per nonleaf stage (None where ragged) — the
+    # tree's own derivation, shared with the pre-build partition
+    # eligibility check (parallel.subtree._stage_structure)
+    stage_child = tree.stage_child
     anc_dev = dev(_pad0(anc, NP_), jnp.int32)
     child_idx_dev = dev(_pad0(tree.children_padded, NLP), jnp.int32)
     child_mask_dev = dev(_pad0(tree.children_mask.astype(np.float64), NLP))

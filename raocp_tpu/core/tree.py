@@ -241,6 +241,23 @@ class ScenarioTree:
         """``stage_start[k]`` = first node of stage ``k``; length num_stages+1."""
         return self.__stage_start
 
+    @property
+    def stage_child(self):
+        """Per nonleaf stage: the uniform child count, or None where
+        branching is ragged within the stage. THE single source of the
+        stage-uniformity structure: ``core.stacked.build_stacked`` bakes
+        it into the StackedProblem statics and
+        ``parallel.subtree.choose_frontier`` decides partition
+        eligibility from it pre-build — both must agree by construction."""
+        ss = self.stage_start
+        cc = self.child_count
+        out = []
+        for k in range(self.num_stages - 1):
+            counts = cc[ss[k]:ss[k + 1]]
+            out.append(int(counts[0]) if len(counts)
+                       and (counts == counts[0]).all() else None)
+        return tuple(out)
+
     # -- display -----------------------------------------------------------
 
     def __str__(self) -> str:

@@ -74,22 +74,16 @@ _FILLS = {"nl_lo": -np.inf, "nl_hi": np.inf, "nl_ball_r": np.inf,
 
 
 def _stage_structure(obj):
-    """(num_stages, stage_start, stage_child) from either a built
-    StackedProblem or a bare ScenarioTree — frontier eligibility is a pure
+    """(num_stages, stage_start, stage_child) from a built StackedProblem,
+    a bare ScenarioTree, or an RAOCP spec — frontier eligibility is a pure
     function of the stage structure, so Solver can decide the partition
     BEFORE paying for a stacked build (the offline Riccati/kernel
-    factorisations dominate build time at production scale)."""
-    if hasattr(obj, "stage_child"):              # StackedProblem
-        return obj.num_stages, obj.stage_start, obj.stage_child
-    tree = obj.tree if hasattr(obj, "tree") else obj   # RAOCP spec or tree
-    ss = tuple(int(v) for v in tree.stage_start)
-    cc = tree.child_count
-    sc = []
-    for k in range(tree.num_stages - 1):
-        counts = cc[ss[k]:ss[k + 1]]
-        sc.append(int(counts[0]) if len(counts)
-                  and (counts == counts[0]).all() else None)
-    return tree.num_stages, ss, tuple(sc)
+    factorisations dominate build time at production scale). All three
+    carry the same ``stage_child`` (ScenarioTree.stage_child is the single
+    source; build_stacked bakes it into the statics verbatim)."""
+    src = obj.tree if hasattr(obj, "tree") else obj
+    return (src.num_stages, tuple(int(v) for v in src.stage_start),
+            tuple(src.stage_child))
 
 
 def _frontier_candidates(obj):
@@ -266,29 +260,36 @@ class SubtreeProblem:
     def run_cp(self, z0, eta0, x0, alpha1, alpha2, tol, max_iters: int,
                check_every: int = 1, unroll: int = 1,
                adaptive: bool = False, relax: float = 1.0,
-               log_every=None):
+               log_every=None, k0=0):
         """The full production CP loop under shard_map. Accepts/returns
         iterates in the [D * local, ...] block layout. ``log_every``
         prints residuals from inside the loop via ``jax.debug.callback``
         (supported under shard_map); the logged err values are the
         post-pmax global max-norms, identical on every device, so only
-        device 0's callback prints."""
+        device 0's callback prints. ``k0`` (traced) offsets the logged
+        iteration indices — chunked solves pass the completed-iteration
+        count so printed indices are global."""
         key = ("run", max_iters, check_every, unroll, adaptive, relax,
                log_every)
         if key not in self._cache:
             from raocp_tpu.solver import _run_cp
-            body = partial(_run_cp, max_iters=max_iters,
-                           log_every=log_every, check_every=check_every,
-                           unroll=unroll, adaptive=adaptive, relax=relax)
+
+            def body(sp_, z_, e_, x0_, a1_, a2_, tol_, k0_):
+                return _run_cp(sp_, z_, e_, x0_, a1_, a2_, tol_,
+                               max_iters, log_every=log_every,
+                               check_every=check_every, unroll=unroll,
+                               adaptive=adaptive, relax=relax, k0=k0_)
+
             self._cache[key] = jax.jit(jax.shard_map(
                 body, mesh=self.mesh,
                 in_specs=(self.in_spec, self._primal_spec(),
-                          self._dual_spec(), P(), P(), P(), P()),
+                          self._dual_spec(), P(), P(), P(), P(), P()),
                 out_specs=(Primal(*self._primal_spec()),
                            Dual(*self._dual_spec()), P(), P(), P()),
                 check_vma=False))
         return self._cache[key](self.sp, tuple(z0), tuple(eta0), x0,
-                                alpha1, alpha2, tol)
+                                alpha1, alpha2, tol,
+                                jnp.asarray(k0, jnp.int32))
 
 
 def build_subtree_problem(spec, mesh: Mesh, dtype=None,

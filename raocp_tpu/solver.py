@@ -73,12 +73,11 @@ class SolverResult:
         """Persist (z, eta, k) so a later solve can warm-start
         (:meth:`Solver.solve` ``warm_start=``). The reference keeps the full
         per-iteration history in memory but never resumes from it
-        (cache.py:186-196); this is the cheap durable equivalent."""
-        primal = {f"primal_{k}": np.asarray(v)
-                  for k, v in self.primal._asdict().items()}
-        dual = {f"dual_{k}": np.asarray(v)
-                for k, v in self.dual._asdict().items()}
-        np.savez(path, num_iters=self.num_iters, **primal, **dual)
+        (cache.py:186-196); this is the cheap durable equivalent. One
+        writer (:func:`_write_iterate_npz`) serves both this and the
+        fault checkpoints of chunked solves, so every checkpoint parses
+        with :meth:`load_checkpoint`."""
+        _write_iterate_npz(self.primal, self.dual, self.num_iters, path)
 
     @staticmethod
     def load_checkpoint(path: str):
@@ -239,12 +238,14 @@ def cp_iteration(sp: StackedProblem, z, eta, Lz, LtEta, alpha1, alpha2, x0):
     return zn, en, Lzn, Ltn, err, derr
 
 
-def _chunked_loop(run_chunk, z0, eta0, tol, max_iters, chunk_iters,
+def _chunked_loop(run_chunk, z0, eta0, tol, max_iters,
                   checkpoint_on_fault, write_checkpoint):
     """Drive a CP loop in device-bounded chunks with elastic recovery.
 
-    ``run_chunk(z, eta) -> (z, eta, it, err, hist)`` executes ONE device
-    dispatch of at most ``chunk_iters`` iterations (iterates stay device-
+    ``run_chunk(z, eta, iters_done) -> (z, eta, it, err, hist)`` executes
+    ONE device dispatch of a bounded iteration count (the chunk budget is
+    baked into the closure; ``iters_done`` offsets in-loop logging so
+    printed iteration indices are global, and iterates stay device-
     resident between chunks). Each completed chunk's iterate is
     snapshotted to HOST memory; a device fault (``JaxRuntimeError``)
     mid-chunk triggers ONE retry from the last snapshot — transient
@@ -264,7 +265,7 @@ def _chunked_loop(run_chunk, z0, eta0, tol, max_iters, chunk_iters,
     retried = False
     while True:
         try:
-            z, eta, it, err, hist = run_chunk(zc, ec)
+            z, eta, it, err, hist = run_chunk(zc, ec, iters)
             it = int(it)          # forces chunk completion
             hist_np = np.asarray(hist[:it])
         except jax.errors.JaxRuntimeError as e:
@@ -337,7 +338,8 @@ def _log_residuals(k, err):
 @_with_matmul_precision
 def _run_cp(sp: StackedProblem, z0, eta0, x0, alpha1, alpha2, tol,
             max_iters: int, log_every=None, check_every: int = 1,
-            unroll: int = 1, adaptive: bool = False, relax: float = 1.0):
+            unroll: int = 1, adaptive: bool = False, relax: float = 1.0,
+            k0=0):
     """The full CP loop. Returns (z, eta, iters, final_errors, histories).
 
     ``check_every=k`` evaluates the xi residuals (and the stopping test)
@@ -438,6 +440,9 @@ def _run_cp(sp: StackedProblem, z0, eta0, x0, alpha1, alpha2, tol,
                                 jnp.nan)
                 hist = hist.at[k + i].set(row)
             if log_every is not None:
+                # k0: iterations completed by earlier chunks of a chunked
+                # solve — logged indices are GLOBAL (the stride stays
+                # chunk-local, matching the restart of the loop counter)
                 do_log = (k + i) % log_every == 0
                 if sp.spmd_axis is not None:
                     # under shard_map every device runs the callback; err
@@ -447,7 +452,8 @@ def _run_cp(sp: StackedProblem, z0, eta0, x0, alpha1, alpha2, tol,
                         do_log, jax.lax.axis_index(sp.spmd_axis) == 0)
                 jax.lax.cond(
                     do_log,
-                    lambda: jax.debug.callback(_log_residuals, k + i, err),
+                    lambda: jax.debug.callback(_log_residuals,
+                                               k0 + k + i, err),
                     lambda: None)
             if relax != 1.0:
                 # over-relaxation AFTER the residual evaluation: the
@@ -497,6 +503,9 @@ class Solver:
           every per-stage op (~140 collectives/iteration).
         * ``"auto"`` (default) — subtree when the tree admits a frontier
           and the mesh has more than one device, flat otherwise.
+          ``pad_multiple`` (a flat-layout knob) steers auto to the flat
+          path; combining it with the explicit ``partition="subtree"``
+          raises.
     """
 
     def __init__(self, problem_spec: RAOCP, dtype=None,
@@ -507,12 +516,25 @@ class Solver:
         self.__subtree = None
         if partition not in ("auto", "subtree", "flat"):
             raise ValueError(f"unknown partition '{partition}'")
-        if partition == "subtree" and mesh is None:
+        if partition == "subtree" and (
+                mesh is None or int(mesh.devices.size) < 2):
             raise ValueError(
-                "partition='subtree' needs a mesh (raocp_tpu.parallel."
-                "make_mesh); without one the solve would silently run the "
-                "single-device path")
-        if mesh is not None and partition in ("auto", "subtree"):
+                "partition='subtree' needs a mesh with more than one "
+                "device (raocp_tpu.parallel.make_mesh); otherwise the "
+                "solve would silently run the single-device path")
+        if partition == "subtree" and pad_multiple is not None \
+                and pad_multiple != 1:
+            raise ValueError(
+                "pad_multiple applies to the flat node layout only; the "
+                "subtree partition pads stages to the device count "
+                "internally — drop the argument or use partition='flat'")
+        # pad_multiple signals flat-layout intent, so partition='auto'
+        # honours it by selecting the flat path (raising here would make
+        # previously-working auto calls fail only on subtree-eligible tree
+        # shapes — behaviour must not depend on the tree's branching)
+        if mesh is not None and (
+                partition == "subtree"
+                or (partition == "auto" and pad_multiple is None)):
             from raocp_tpu.parallel.subtree import (build_subtree_problem,
                                                     choose_frontier)
             # eligibility is a pure function of the tree's stage structure
@@ -526,12 +548,6 @@ class Solver:
                     "some stage; this tree is ragged everywhere — use "
                     "partition='flat'")
             if eligible is not None and int(mesh.devices.size) > 1:
-                if pad_multiple is not None and pad_multiple != 1:
-                    raise ValueError(
-                        "pad_multiple applies to the flat node layout only; "
-                        "the subtree partition pads stages to the device "
-                        "count internally — drop the argument or use "
-                        "partition='flat'")
                 self.__stacked = build_stacked(
                     problem_spec, dtype=dtype, pad_multiple=1,
                     offline=offline)
@@ -731,14 +747,14 @@ class Solver:
                 # recompile the loop (max_iters is static) — minutes on a
                 # tunnelled backend — so the max_iters cap rounds up to a
                 # chunk multiple instead
-                def run_chunk(zc, ec):
+                def run_chunk(zc, ec, iters_done):
                     return _run_cp(
                         sp, tuple(zc), tuple(ec), x0, a1, a2, tolj,
                         int(chunk_iters), log_every, check_every,
-                        unroll, adaptive, float(relax))
+                        unroll, adaptive, float(relax), k0=iters_done)
 
                 z, eta, iters, err, hist = _chunked_loop(
-                    run_chunk, z0, eta0, tol, max_iters, chunk_iters,
+                    run_chunk, z0, eta0, tol, max_iters,
                     checkpoint_on_fault, _write_iterate_npz)
             elif accel is None:
                 z, eta, iters, err, hist = _run_cp(
@@ -827,12 +843,12 @@ class Solver:
         tic = time.perf_counter()
         with profiler_cm:
             if chunk_iters is not None:
-                def run_chunk(zc, ec):
+                def run_chunk(zc, ec, iters_done):
                     return stp.run_cp(
                         zc, ec, x0, a1, a2, tolj, int(chunk_iters),
                         check_every=check_every, unroll=unroll,
                         adaptive=adaptive, relax=float(relax),
-                        log_every=log_every)
+                        log_every=log_every, k0=iters_done)
 
                 def write_ckpt(z_np, eta_np, k, path):
                     # block layout -> global node layout: the checkpoint
@@ -842,7 +858,7 @@ class Solver:
                         stp.dual_to_global(Dual(*eta_np)), k, path)
 
                 z, eta, iters, err, hist = _chunked_loop(
-                    run_chunk, z0, eta0, tol, max_iters, chunk_iters,
+                    run_chunk, z0, eta0, tol, max_iters,
                     checkpoint_on_fault, write_ckpt)
             else:
                 z, eta, iters, err, hist = stp.run_cp(

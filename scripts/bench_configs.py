@@ -148,13 +148,14 @@ def main():
         # faulted dispatch (observed twice on the shared tunnelled chip
         # during multi-minute single executions) then costs one chunk, and
         # the solve resumes from the device-resident iterate
+        from raocp_tpu.solver import _resolve_relax
+        relax = ("auto" if args.relax == "auto" else float(args.relax))
         run = controller.run(x0, num_steps=3 if small else 5,
                              max_iters=20000, tol=1e-3,
                              check_every=1 if small else 25,
                              unroll=1 if small else 5,
                              chunk_iters=None if small else 2500,
-                             relax=("auto" if args.relax == "auto"
-                                    else float(args.relax)))
+                             relax=relax)
         wall = time.perf_counter() - t0
         print(json.dumps({
             "config": "5_mpc_closed_loop_1e5",
@@ -163,7 +164,10 @@ def main():
             "mpc_steps": len(run.states) - 1,
             "iterations_per_step": [int(k) for k in run.iterations],
             "wall_s": round(wall, 2),
-            "relax": args.relax,
+            # record the RESOLVED rho: "auto" rows must stay numerically
+            # comparable across rounds even if the auto default is retuned
+            "relax": _resolve_relax(relax),
+            "relax_mode": "auto" if relax == "auto" else "explicit",
         }), flush=True)
 
 

@@ -144,7 +144,8 @@ def main() -> None:
         while sizes[-1] * 2 <= ncores:
             sizes.append(sizes[-1] * 2)
 
-    base = None
+    base = None          # (mean_ips, P) of the first row — speedup and
+    base_procs = None    # efficiency are normalised to ITS process count
     for P in sizes:
         port = _free_port()
         cmd = [sys.executable, os.path.abspath(__file__), "--worker",
@@ -173,7 +174,7 @@ def main() -> None:
                        ["iters_per_s"])
         mean_ips = sum(ips) / len(ips)
         if base is None:
-            base = mean_ips
+            base, base_procs = mean_ips, P
         print(json.dumps({
             "mode": "multiprocess-gloo",
             "partition": "subtree" if P > 1 else "none",
@@ -181,8 +182,11 @@ def main() -> None:
             "pinned": args.pin, "eigen_threads": args.eigen_threads,
             "num_stages": args.num_stages, "num_states": args.num_states,
             "iters_per_s": round(mean_ips, 2),
+            "baseline_processes": base_procs,
             "speedup": round(mean_ips / base, 3),
-            "efficiency": round(mean_ips / base / P, 3),
+            # per-process efficiency vs the baseline row's process count —
+            # correct even when --procs omits P=1
+            "efficiency": round(mean_ips / base * base_procs / P, 3),
         }), flush=True)
 
 

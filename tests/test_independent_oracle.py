@@ -314,13 +314,13 @@ def _demo_tv():
                  1e-6, 2e-5, id="demo-27-node-ragged"),
 ])
 def test_full_solve_matches_independent_nlp(make, cp_tol, obj_tol):
-    # NLP termination slop propagates into the trajectories (~6e-4 on the
-    # TV case, adjudicated below as the NLP side's, not CP's)
-    traj_tol = max(2e-4, 10.0 * obj_tol)
     """The CP solution's objective (root epigraph value s_0) and state /
     input trajectories must match scipy's interior-point solve of the
     same epigraph program to ~1e-5 — the full-solve analogue of the
     reference's cvxpy cross-checks (test_cache.py:111-209)."""
+    # NLP termination slop propagates into the trajectories (~6e-4 on the
+    # TV case, adjudicated below as the NLP side's, not CP's)
+    traj_tol = max(2e-4, 10.0 * obj_tol)
     problem, x0 = make()
     # ~1e-6 (three decades past the reference experiment's 1e-3) with
     # the auto over-relaxation: tight enough that the CP iterate error is

@@ -105,9 +105,17 @@ def test_subtree_misconfig_rejected(uniform):
     problem, _ = uniform
     with pytest.raises(ValueError, match="needs a mesh"):
         Solver(problem, partition="subtree")
+    with pytest.raises(ValueError, match="more than one device"):
+        Solver(problem, partition="subtree", mesh=make_mesh(num_devices=1))
     mesh = make_mesh(num_devices=8)
     with pytest.raises(ValueError, match="pad_multiple"):
         Solver(problem, mesh=mesh, partition="subtree", pad_multiple=8)
+    # pad_multiple is a FLAT-layout knob: partition='auto' honours it by
+    # selecting the flat path even on a subtree-eligible tree (raising
+    # would make auto calls fail depending on tree shape)
+    s = Solver(problem, mesh=mesh, pad_multiple=8)
+    assert s.subtree is None
+    assert s.stacked.np_pad % 8 == 0
     g = build_stacked(problem, pad_multiple=1)
     assert choose_frontier(problem.tree, 8) == choose_frontier(g, 8)
     assert subtree_eligible(problem.tree) == subtree_eligible(g)
