@@ -10,7 +10,10 @@ under a freshly sampled mode.
 Usage: python examples/closed_loop_mpc.py [num_steps]
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 

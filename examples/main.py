@@ -3,6 +3,11 @@
 quadratic costs, AVaR(0.95), box constraints — solved to 1e-3 in 937 CP
 iterations."""
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import numpy as np
 
 from raocp_tpu import Solver
